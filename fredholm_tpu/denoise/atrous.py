@@ -1,0 +1,109 @@
+"""Denoiser: edge-avoiding A-Trous wavelet filter with AOV guides.
+
+Capability-parity replacement for the reference's OptiX AI denoiser wrapper
+(/root/reference/fredholm/include/fredholm/denoiser.h:14-146): consumes the
+same inputs (beauty + albedo + normal guide layers, denoiser.h:76-85) and
+produces a DENOISED output layer. There is no OptiX neural denoiser on TPU,
+so we implement Dammertz et al. 2010's edge-avoiding A-Trous wavelet
+transform — a classic real-time path-tracing denoiser — as pure batched
+jnp: each iteration is a sparse 5x5 B3-spline convolution with per-pixel
+edge-stopping weights from color/normal/position differences. Entirely
+fusible by XLA, no gathers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# B3-spline kernel weights (1/16, 1/4, 3/8, 1/4, 1/16)
+_B3 = np.asarray([1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0])
+
+
+def _shift2d(img, dy: int, dx: int):
+    """Edge-clamped 2D shift of [H, W, C]."""
+    h, w = img.shape[0], img.shape[1]
+    pad_y = (max(dy, 0), max(-dy, 0))
+    pad_x = (max(dx, 0), max(-dx, 0))
+    padded = jnp.pad(img, (pad_y, pad_x, (0, 0)), mode="edge")
+    return padded[
+        pad_y[1] : pad_y[1] + h,
+        pad_x[1] : pad_x[1] + w,
+    ]
+
+
+def atrous_denoise(
+    beauty,
+    normal=None,
+    albedo=None,
+    position=None,
+    n_iterations: int = 4,
+    sigma_color: float = 0.35,
+    sigma_normal: float = 0.25,
+    sigma_position: float = 0.6,
+):
+    """Denoise beauty [H, W, 3] using optional [H, W, 3] guide layers.
+
+    Returns the denoised image. Guide layers are the same AOVs the
+    reference feeds the OptiX denoiser (denoiser.h:76-85).
+    """
+    img = jnp.asarray(beauty)
+    result = img
+
+    for it in range(n_iterations):
+        step = 1 << it
+        accum = jnp.zeros_like(result)
+        weight_sum = jnp.zeros(result.shape[:2] + (1,), result.dtype)
+        for ky in range(5):
+            for kx in range(5):
+                dy = (ky - 2) * step
+                dx = (kx - 2) * step
+                h = _B3[ky] * _B3[kx]
+
+                sample = _shift2d(result, dy, dx)
+                w = jnp.full(result.shape[:2], h, result.dtype)
+
+                dc = jnp.sum((sample - result) ** 2, axis=-1)
+                w = w * jnp.exp(-dc / (sigma_color * sigma_color))
+                if normal is not None:
+                    dn = jnp.sum(
+                        (_shift2d(normal, dy, dx) - normal) ** 2, axis=-1
+                    )
+                    w = w * jnp.exp(-dn / (sigma_normal * sigma_normal))
+                if position is not None:
+                    dp = jnp.sum(
+                        (_shift2d(position, dy, dx) - position) ** 2, axis=-1
+                    )
+                    w = w * jnp.exp(-dp / (sigma_position * sigma_position))
+                if albedo is not None:
+                    da = jnp.sum(
+                        (_shift2d(albedo, dy, dx) - albedo) ** 2, axis=-1
+                    )
+                    w = w * jnp.exp(-da / (sigma_color * sigma_color))
+
+                accum = accum + w[..., None] * sample
+                weight_sum = weight_sum + w[..., None]
+        result = accum / jnp.maximum(weight_sum, 1e-8)
+    return result
+
+
+class Denoiser:
+    """API-compatible analog of fredholm::Denoiser (denoiser.h:14-146)."""
+
+    def __init__(self, width: int, height: int, upscale: bool = False):
+        self.width = width
+        self.height = height
+        self.upscale = upscale  # the 2x-upscale OptiX model has no analog
+
+    def denoise(self, beauty, normal=None, albedo=None, position=None):
+        img = jnp.asarray(beauty).reshape(self.height, self.width, -1)[..., :3]
+
+        def guide(x):
+            if x is None:
+                return None
+            return jnp.asarray(x).reshape(self.height, self.width, -1)[..., :3]
+
+        out = atrous_denoise(
+            img, guide(normal), guide(albedo), guide(position)
+        )
+        return out.reshape(-1, 3)

@@ -1,0 +1,727 @@
+"""Wavefront path-tracing integrator with NEE + MIS.
+
+TPU-native re-design of the reference's OptiX megakernel
+(/root/reference/fredholm/modules/pt.cu). The megakernel's per-thread
+recursion becomes a staged wavefront: all N = W*H pixel lanes advance
+together through a `lax.while_loop` over path depth; every stage (camera
+raygen, BVH intersect, surface/shading fill, NEE shadow rays, BSDF light
+ray, bounce) is a batched SoA pass. Per-lane termination (Russian roulette,
+miss, emission) is a mask; dead lanes idle in the traversal loop.
+
+Per-bounce structure mirrors pt.cu:418-944 exactly, including the sampler
+dimension ordering, so images converge to the same result:
+  RR -> trace radiance -> [miss: sky on first hit] ->
+  NEE (directional?, sky, area?) -> BSDF light ray (MIS) -> next bounce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.traverse import (
+    intersect_any,
+    intersect_any_dense,
+    intersect_closest,
+    intersect_closest_dense,
+)
+from ..bsdf import bsdf as bsdf_mod
+from ..camera import pixel_uv, sample_ray_thinlens
+from ..core.vecmath import (
+    cartesian_to_spherical,
+    cross,
+    dot,
+    is_finite3,
+    length,
+    local_to_world,
+    normalize,
+    orthonormal_basis,
+    ray_origin_offset,
+    rgb_to_luminance,
+    vec3,
+    world_to_local,
+)
+from ..sampling.mappings import (
+    sample_concentric_disk,
+    sample_cosine_weighted_hemisphere,
+    sample_triangle,
+)
+from ..sampling.sampler import init_sampler_state, sample_1d, sample_2d
+from ..scene.texture import fetch_or_constant, sample_texture
+from ..sky.hosek import sky_radiance
+from ..sky.ibl import fetch_ibl
+
+SHADOW_RAY_EPS = 1e-3  # pt.cu:11
+RAY_TMAX = 1e9
+
+SKY_CONSTANT = 0
+SKY_IBL = 1
+SKY_HOSEK = 2
+
+
+def trace_closest(dev, o, d, t_max):
+    """optixTrace RAY_TYPE_RADIANCE/LIGHT analog: statically picks the dense
+    all-triangles path for small scenes (fast on TPU: no gathers) or the
+    threaded-BVH traversal for large ones."""
+    if dev["use_dense"]:
+        return intersect_closest_dense(dev["bvh"], o, d, t_max)
+    return intersect_closest(dev["bvh"], o, d, t_max)
+
+
+def trace_any(dev, o, d, t_max):
+    """optixTrace RAY_TYPE_SHADOW analog (terminate on first hit)."""
+    if dev["use_dense"]:
+        return intersect_any_dense(dev["bvh"], o, d, t_max)
+    return intersect_any(dev["bvh"], o, d, t_max)
+
+
+# ---------------------------------------------------------------------------
+# sky
+
+
+def eval_sky(params, v):
+    """Environment radiance for directions v [N,3] (pt.cu:504-523)."""
+    mode = params["sky_mode"]  # static python int
+    if mode == SKY_IBL:
+        return fetch_ibl(params["ibl"], v, params["sky_intensity"])
+    if mode == SKY_HOSEK:
+        theta, _ = cartesian_to_spherical(v)
+        gamma = jnp.arccos(
+            jnp.clip(dot(jnp.asarray(params["sun_direction"]), v), -1.0, 1.0)
+        )
+        return params["sky_intensity"] * sky_radiance(
+            params["hosek"], theta, gamma
+        )
+    return jnp.broadcast_to(jnp.asarray(params["bg_color"]), v.shape)
+
+
+# ---------------------------------------------------------------------------
+# surface + shading params
+
+
+def fill_surface_info(dev, prim, bary_u, bary_v, ray_d):
+    """pt.cu:141-179 over a wavefront; prim: [N] int32 (clamped valid)."""
+    p = jnp.clip(prim, 0, dev["n_faces"] - 1)
+    fv = dev["face_verts"][p]  # [N, 3, 3]
+    fn = dev["face_normals"][p]
+    fuv = dev["face_uvs"][p]
+
+    w0 = (1.0 - bary_u - bary_v)[..., None]
+    w1 = bary_u[..., None]
+    w2 = bary_v[..., None]
+
+    x = w0 * fv[:, 0] + w1 * fv[:, 1] + w2 * fv[:, 2]
+    n_g = normalize(cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]), eps=1e-20)
+    n_s = normalize(w0 * fn[:, 0] + w1 * fn[:, 1] + w2 * fn[:, 2], eps=1e-20)
+    texcoord = w0 * fuv[:, 0] + w1 * fuv[:, 1] + w2 * fuv[:, 2]
+
+    is_entering = dot(-ray_d, n_g) > 0.0
+    flip = jnp.where(is_entering, 1.0, -1.0)[..., None]
+    n_s = n_s * flip
+    n_g = n_g * flip
+    tangent, bitangent = orthonormal_basis(n_s)
+    return {
+        "x": x,
+        "n_g": n_g,
+        "n_s": n_s,
+        "texcoord": texcoord,
+        "tangent": tangent,
+        "bitangent": bitangent,
+        "is_entering": is_entering,
+        "mat_id": dev["face_mat"][p],
+    }
+
+
+def fill_shading_params(dev, surf):
+    """pt.cu:181-280: gather material constants, apply texture overrides."""
+    m = dev["materials"]
+    mid = surf["mat_id"]
+    uv = surf["texcoord"]
+    tex = dev["textures"]
+
+    def g(name):
+        return m[name][mid]
+
+    sp = {}
+    sp["diffuse"] = g("diffuse")
+    sp["diffuse_roughness"] = g("diffuse_roughness")
+
+    if not dev["any_textures"]:
+        # scene has no textures: skip the whole fetch machinery statically
+        sp["base_color"] = g("base_color")
+        sp["specular"] = g("specular")
+        sp["specular_color"] = g("specular_color")
+        sp["specular_roughness"] = jnp.clip(g("specular_roughness"), 0.01, 1.0)
+        sp["metalness"] = g("metalness")
+        sp["coat"] = jnp.clip(g("coat"), 0.0, 1.0)
+        sp["coat_roughness"] = jnp.clip(g("coat_roughness"), 0.0, 1.0)
+        sp["coat_color"] = g("coat_color")
+        sp["transmission"] = g("transmission")
+        sp["transmission_color"] = g("transmission_color")
+        sp["sheen"] = g("sheen")
+        sp["sheen_color"] = g("sheen_color")
+        sp["sheen_roughness"] = g("sheen_roughness")
+        sp["subsurface"] = g("subsurface")
+        sp["subsurface_color"] = g("subsurface_color")
+        sp["thin_walled"] = g("thin_walled")
+        return sp
+
+    sp["base_color"] = fetch_or_constant(
+        tex, g("base_color_texture_id"), uv, g("base_color")
+    )
+    sp["specular"] = g("specular")
+    sp["specular_color"] = fetch_or_constant(
+        tex, g("specular_color_texture_id"), uv, g("specular_color")
+    )
+    sp["specular_roughness"] = jnp.clip(
+        fetch_or_constant(
+            tex,
+            g("specular_roughness_texture_id"),
+            uv,
+            g("specular_roughness")[..., None],
+        )[..., 0],
+        0.01,
+        1.0,
+    )
+    sp["metalness"] = fetch_or_constant(
+        tex, g("metalness_texture_id"), uv, g("metalness")[..., None]
+    )[..., 0]
+
+    # glTF metallic-roughness packing (pt.cu:230-236)
+    mr_id = g("metallic_roughness_texture_id")
+    mr = sample_texture(tex, mr_id, uv)
+    has_mr = mr_id >= 0
+    sp["specular_roughness"] = jnp.where(
+        has_mr, jnp.clip(mr[..., 1], 0.01, 1.0), sp["specular_roughness"]
+    )
+    sp["metalness"] = jnp.where(
+        has_mr, jnp.clip(mr[..., 2], 0.0, 1.0), sp["metalness"]
+    )
+
+    sp["coat"] = jnp.clip(
+        fetch_or_constant(tex, g("coat_texture_id"), uv, g("coat")[..., None])[
+            ..., 0
+        ],
+        0.0,
+        1.0,
+    )
+    # NOTE: reference reads channel .y of the coat-roughness texture
+    coat_rough_tex = sample_texture(tex, g("coat_roughness_texture_id"), uv)
+    sp["coat_roughness"] = jnp.clip(
+        jnp.where(
+            g("coat_roughness_texture_id") >= 0,
+            coat_rough_tex[..., 1],
+            g("coat_roughness"),
+        ),
+        0.0,
+        1.0,
+    )
+    sp["coat_color"] = g("coat_color")
+    sp["transmission"] = g("transmission")
+    sp["transmission_color"] = g("transmission_color")
+    sp["sheen"] = g("sheen")
+    sp["sheen_color"] = g("sheen_color")
+    sp["sheen_roughness"] = g("sheen_roughness")
+    sp["subsurface"] = g("subsurface")
+    sp["subsurface_color"] = g("subsurface_color")
+    sp["thin_walled"] = g("thin_walled")
+    return sp
+
+
+def apply_normal_mapping(dev, surf):
+    """Bump (heightmap) + normal mapping (pt.cu:710-742). Returns
+    (tangent, normal, bitangent)."""
+    m = dev["materials"]
+    tex = dev["textures"]
+    mid = surf["mat_id"]
+    uv = surf["texcoord"]
+    tangent = surf["tangent"]
+    normal = surf["n_s"]
+    bitangent = surf["bitangent"]
+
+    hm_id = m["heightmap_texture_id"][mid]
+    if dev.get("any_heightmap", True):
+        k = jnp.clip(hm_id, 0, tex["offset"].shape[0] - 1)
+        du = 1.0 / tex["width"][k].astype(jnp.float32)
+        dv = 1.0 / tex["height"][k].astype(jnp.float32)
+        v0 = sample_texture(tex, hm_id, uv)[..., 0]
+        vdu = sample_texture(
+            tex, hm_id, uv + jnp.stack([du, jnp.zeros_like(du)], -1)
+        )[..., 0]
+        vdv = sample_texture(
+            tex, hm_id, uv + jnp.stack([jnp.zeros_like(dv), dv], -1)
+        )[..., 0]
+        dfdu = vdu - v0
+        dfdv = vdv - v0
+        t_b = normalize(surf["tangent"] + dfdu[..., None] * surf["n_s"])
+        b_b = normalize(surf["bitangent"] + dfdv[..., None] * surf["n_s"])
+        n_b = normalize(cross(t_b, b_b))
+        use = (hm_id >= 0)[..., None]
+        tangent = jnp.where(use, t_b, tangent)
+        bitangent = jnp.where(use, b_b, bitangent)
+        normal = jnp.where(use, n_b, normal)
+
+    nm_id = m["normalmap_texture_id"][mid]
+    if dev.get("any_normalmap", True):
+        val = sample_texture(tex, nm_id, uv)[..., :3] * 2.0 - 1.0
+        n_m = normalize(
+            local_to_world(
+                # normal maps are tangent-space with +Z normal; our local
+                # frame is +Y, so swizzle (x, z, y)
+                jnp.stack([val[..., 0], val[..., 2], val[..., 1]], -1),
+                surf["tangent"],
+                surf["n_s"],
+                surf["bitangent"],
+            )
+        )
+        use = (nm_id >= 0)[..., None]
+        normal = jnp.where(use, n_m, normal)
+        t_m, b_m = orthonormal_basis(normal)
+        tangent = jnp.where(use, t_m, tangent)
+        bitangent = jnp.where(use, b_m, bitangent)
+
+    return tangent, normal, bitangent
+
+
+def get_emission(dev, mat_id, texcoord):
+    """pt.cu:131-139."""
+    m = dev["materials"]
+    if not dev["any_textures"]:
+        return m["emission_color"][mat_id]
+    return fetch_or_constant(
+        dev["textures"],
+        m["emission_texture_id"][mat_id],
+        texcoord,
+        m["emission_color"][mat_id],
+    )
+
+
+def has_emission(dev, mat_id):
+    """pt.cu:125-129."""
+    m = dev["materials"]
+    ec = m["emission_color"][mat_id]
+    return (
+        (ec[..., 0] > 0.0)
+        | (ec[..., 1] > 0.0)
+        | (ec[..., 2] > 0.0)
+        | (m["emission_texture_id"][mat_id] >= 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# lights
+
+
+def sample_position_on_light(dev, u, v2):
+    """Uniform area-light sampling (pt.cu:282-322). Returns
+    (p, n, le, pdf_area)."""
+    n_lights = dev["n_lights"]
+    light_idx = jnp.clip(
+        (u * n_lights).astype(jnp.int32), 0, max(n_lights - 1, 0)
+    )
+    face = dev["lights"][light_idx]
+    fv = dev["face_verts"][face]
+    fn = dev["face_normals"][face]
+    fuv = dev["face_uvs"][face]
+
+    bary = sample_triangle(v2)
+    w0 = (1.0 - bary[..., 0] - bary[..., 1])[..., None]
+    w1 = bary[..., 0:1]
+    w2 = bary[..., 1:2]
+    p = w0 * fv[:, 0] + w1 * fv[:, 1] + w2 * fv[:, 2]
+    n = w0 * fn[:, 0] + w1 * fn[:, 1] + w2 * fn[:, 2]
+    texcoord = w0 * fuv[:, 0] + w1 * fuv[:, 1] + w2 * fuv[:, 2]
+    area = 0.5 * length(cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]))
+    le = get_emission(dev, dev["face_mat"][face], texcoord)
+    pdf = 1.0 / (n_lights * jnp.maximum(area, 1e-12))
+    return p, n, le, pdf
+
+
+def sample_position_on_directional_light(params, u2):
+    """pt.cu:324-342: point on the far-away sun disk."""
+    dist = 1e9
+    p_disk = sample_concentric_disk(u2)
+    ddir = jnp.asarray(params["directional_light"]["dir"])
+    angle = params["directional_light"]["angle"]
+    disk_radius = dist * jnp.tan(jnp.deg2rad(0.5 * angle))
+    t, b = orthonormal_basis(jnp.broadcast_to(ddir, p_disk.shape[:-1] + (3,)))
+    return dist * ddir + disk_radius * (
+        t * p_disk[..., 0:1] + b * p_disk[..., 1:2]
+    )
+
+
+def compute_mis_weight(pdf0, pdf1):
+    """Balance heuristic (pt.cu:365-370)."""
+    return pdf0 / (pdf0 + pdf1)
+
+
+def regularize_weight(w):
+    """Firefly clamp (pt.cu:372-376)."""
+    return jnp.clip(w, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# one progressive sample for every pixel
+
+
+def _mask3(m):
+    return m[..., None]
+
+
+def render_sample(dev: Dict, params: Dict, n_spp):
+    """Trace ONE path per pixel; n_spp: [N] per-pixel accumulated counts.
+
+    Returns dict of per-sample AOV values (radiance, position, normal,
+    depth, texcoord, albedo), each [N, ...], NaN/Inf-scrubbed like
+    pt.cu:469-478.
+    """
+    width = params["width"]
+    height = params["height"]
+    # tile support for multi-chip sharding: each shard renders a horizontal
+    # band [y0, y0 + tile_height) of the global pixel grid
+    tile_height = params.get("tile_height", height)  # static
+    y0 = params.get("y0", 0)  # may be traced (axis_index under shard_map)
+    n = width * tile_height
+    max_depth = params["max_depth"]
+
+    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), tile_height)
+    py = jnp.repeat(jnp.arange(tile_height, dtype=jnp.uint32), width)
+    py = py + jnp.asarray(y0, jnp.uint32)
+    image_idx = px + np.uint32(width) * py
+
+    smp = init_sampler_state(
+        image_idx, n_spp, width * height, params["seed"]
+    )
+
+    # camera ray (pt.cu:437-446)
+    u_pixel, smp = sample_2d(smp)
+    uv = pixel_uv(px, py, u_pixel, width, height)
+    u_lens, smp = sample_2d(smp)
+    origin, direction, _cam_pdf = sample_ray_thinlens(
+        params["camera"], uv, u_lens
+    )
+
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    state = {
+        "origin": origin,
+        "direction": direction,
+        "throughput": jnp.ones((n, 3), jnp.float32),
+        "radiance": zeros3,
+        "alive": jnp.ones((n,), bool),
+        "firsthit": jnp.ones((n,), bool),
+        "position": zeros3,
+        "normal": zeros3,
+        "depth_aov": jnp.zeros((n,), jnp.float32),
+        "texcoord_aov": jnp.zeros((n, 2), jnp.float32),
+        "albedo": zeros3,
+        "smp": smp,
+        "depth": jnp.int32(0),
+        "n_path_vertices": jnp.zeros((), jnp.float32),
+    }
+
+    def cond(state):
+        return (state["depth"] < max_depth) & jnp.any(state["alive"])
+
+    def body(state):
+        smp = state["smp"]
+        alive = state["alive"]
+        throughput = state["throughput"]
+
+        # --- russian roulette (pt.cu:455-462)
+        u_rr, smp = sample_1d(smp)
+        rr_prob = jnp.where(
+            state["depth"] == 0,
+            1.0,
+            jnp.clip(rgb_to_luminance(throughput), 0.0, 1.0),
+        )
+        alive = alive & (u_rr < rr_prob)
+        throughput = throughput / jnp.maximum(rr_prob, 1e-12)[..., None]
+
+        # --- trace radiance ray
+        t_max = jnp.where(alive, RAY_TMAX, -1.0)
+        hit = trace_closest(dev, state["origin"], state["direction"], t_max)
+        hit_mask = hit["hit"] & alive
+
+        # --- miss: sky on first hit (pt.cu:504-523)
+        sky_le = eval_sky(params, state["direction"])
+        miss_first = alive & ~hit["hit"] & state["firsthit"]
+        radiance = state["radiance"] + jnp.where(
+            _mask3(miss_first), throughput * sky_le, 0.0
+        )
+        alive = alive & hit["hit"]
+
+        n_path_vertices = state["n_path_vertices"] + jnp.sum(
+            alive.astype(jnp.float32)
+        )
+
+        # --- surface + shading params
+        surf = fill_surface_info(
+            dev, hit["prim"], hit["u"], hit["v"], state["direction"]
+        )
+        sp = fill_shading_params(dev, surf)
+        tangent, normal, bitangent = apply_normal_mapping(dev, surf)
+
+        # --- first-hit AOVs + emissive hit (pt.cu:745-760)
+        firsthit = state["firsthit"]
+        capture = firsthit & hit_mask
+        position = jnp.where(_mask3(capture), surf["x"], state["position"])
+        normal_aov = jnp.where(_mask3(capture), normal, state["normal"])
+        depth_aov = jnp.where(capture, hit["t"], state["depth_aov"])
+        texcoord_aov = jnp.where(
+            capture[..., None], surf["texcoord"], state["texcoord_aov"]
+        )
+        albedo = jnp.where(_mask3(capture), sp["base_color"], state["albedo"])
+
+        emissive = has_emission(dev, surf["mat_id"])
+        emit_now = capture & emissive
+        radiance = radiance + jnp.where(
+            _mask3(emit_now),
+            throughput * get_emission(dev, surf["mat_id"], surf["texcoord"]),
+            0.0,
+        )
+        alive = alive & ~emit_now
+        firsthit = firsthit & ~capture
+
+        # --- BSDF context
+        wo = world_to_local(-state["direction"], tangent, normal, bitangent)
+        ctx = bsdf_mod.setup(wo, sp, surf["is_entering"])
+        shadow_origin = ray_origin_offset(surf["x"], surf["n_g"])
+
+        # --- NEE: directional light (pt.cu:772-793)
+        if params["has_directional_light"]:
+            u2, smp = sample_2d(smp)
+            p_sun = sample_position_on_directional_light(params, u2)
+            sdir = normalize(p_sun - shadow_origin)
+            occluded = trace_any(
+                dev, shadow_origin, sdir, jnp.where(alive, RAY_TMAX, -1.0)
+            )
+            visible = alive & ~occluded
+            wi = world_to_local(sdir, tangent, normal, bitangent)
+            f = bsdf_mod.eval(ctx, wo, wi)
+            pdf = 1.0
+            pdf_bsdf = bsdf_mod.eval_pdf(ctx, wo, wi)
+            mis_w = compute_mis_weight(pdf, pdf_bsdf)
+            w = regularize_weight(
+                throughput
+                * (mis_w * jnp.abs(wi[..., 1]) / pdf)[..., None]
+                * f
+            )
+            le = jnp.asarray(params["directional_light"]["le"])
+            radiance = radiance + jnp.where(_mask3(visible), w * le, 0.0)
+
+        # --- NEE: sky (cosine-sampled, pt.cu:796-857)
+        u2, smp = sample_2d(smp)
+        wi_local = sample_cosine_weighted_hemisphere(u2)
+        sdir = local_to_world(wi_local, tangent, normal, bitangent)
+        occluded = trace_any(
+            dev, shadow_origin, sdir, jnp.where(alive, RAY_TMAX, -1.0)
+        )
+        visible = alive & ~occluded
+        f = bsdf_mod.eval(ctx, wo, wi_local)
+        cos_wi = jnp.abs(wi_local[..., 1])
+        pdf = cos_wi / jnp.pi
+        pdf_bsdf = bsdf_mod.eval_pdf(ctx, wo, wi_local)
+        mis_w = compute_mis_weight(pdf, pdf_bsdf)
+        w = regularize_weight(
+            throughput
+            * jnp.where(pdf > 0.0, mis_w * cos_wi / jnp.maximum(pdf, 1e-12), 0.0)[
+                ..., None
+            ]
+            * f
+        )
+        sky_le_nee = eval_sky(params, sdir)
+        radiance = radiance + jnp.where(_mask3(visible), w * sky_le_nee, 0.0)
+
+        # --- NEE: area lights (pt.cu:860-889)
+        if dev["n_lights"] > 0:
+            u1, smp = sample_1d(smp)
+            u2, smp = sample_2d(smp)
+            p_l, n_l, le_l, pdf_area = sample_position_on_light(dev, u1, u2)
+            to_l = p_l - shadow_origin
+            r = length(to_l)
+            sdir = to_l / jnp.maximum(r, 1e-12)[..., None]
+            occluded = trace_any(
+                dev, shadow_origin, sdir, jnp.where(alive, r - SHADOW_RAY_EPS, -1.0)
+            )
+            front = dot(-sdir, n_l) > 0.0
+            visible = alive & ~occluded & front
+            wi = world_to_local(sdir, tangent, normal, bitangent)
+            f = bsdf_mod.eval(ctx, wo, wi)
+            pdf = (
+                r
+                * r
+                / jnp.maximum(jnp.abs(dot(-sdir, n_l)), 1e-12)
+                * pdf_area
+            )
+            pdf_bsdf = bsdf_mod.eval_pdf(ctx, wo, wi)
+            mis_w = compute_mis_weight(pdf, pdf_bsdf)
+            w = regularize_weight(
+                throughput
+                * (mis_w * jnp.abs(wi[..., 1]) / jnp.maximum(pdf, 1e-12))[
+                    ..., None
+                ]
+                * f
+            )
+            radiance = radiance + jnp.where(_mask3(visible), w * le_l, 0.0)
+
+        # --- BSDF-sampled light ray with MIS (pt.cu:892-925)
+        u1, smp = sample_1d(smp)
+        u2, smp = sample_2d(smp)
+        wi_l, f_l, pdf_l = bsdf_mod.sample(ctx, wo, u1, u2)
+        ldir = local_to_world(wi_l, tangent, normal, bitangent)
+        transmitted = dot(ldir, surf["n_g"]) < 0.0
+        lorigin = ray_origin_offset(
+            surf["x"], jnp.where(_mask3(transmitted), -surf["n_g"], surf["n_g"])
+        )
+        lhit = trace_closest(dev, lorigin, ldir, jnp.where(alive, RAY_TMAX, -1.0))
+        lsurf_prim = jnp.clip(lhit["prim"], 0, dev["n_faces"] - 1)
+        l_mat = dev["face_mat"][lsurf_prim]
+        fv = dev["face_verts"][lsurf_prim]
+        fn = dev["face_normals"][lsurf_prim]
+        fuv = dev["face_uvs"][lsurf_prim]
+        lw0 = (1.0 - lhit["u"] - lhit["v"])[..., None]
+        lw1 = lhit["u"][..., None]
+        lw2 = lhit["v"][..., None]
+        l_p = lw0 * fv[:, 0] + lw1 * fv[:, 1] + lw2 * fv[:, 2]
+        l_n = lw0 * fn[:, 0] + lw1 * fn[:, 1] + lw2 * fn[:, 2]
+        l_uv = lw0 * fuv[:, 0] + lw1 * fuv[:, 1] + lw2 * fuv[:, 2]
+        l_area = 0.5 * length(cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]))
+        l_emissive = has_emission(dev, l_mat) & (dot(-ldir, l_n) > 0.0)
+        hit_light = lhit["hit"] & l_emissive
+
+        le_hit = get_emission(dev, l_mat, l_uv)
+        le_miss = eval_sky(params, ldir)
+        le = jnp.where(_mask3(lhit["hit"]), jnp.where(_mask3(hit_light), le_hit, 0.0), le_miss)
+
+        r2 = dot(l_p - lorigin, l_p - lorigin)
+        n_lights = max(dev["n_lights"], 1)
+        pdf_area_hit = 1.0 / (n_lights * jnp.maximum(l_area, 1e-12))
+        pdf_light_hit = (
+            r2 / jnp.maximum(jnp.abs(dot(-ldir, l_n)), 1e-12) * pdf_area_hit
+        )
+        pdf_light_miss = jnp.abs(wi_l[..., 1]) / jnp.pi
+        pdf_light = jnp.where(hit_light, pdf_light_hit, pdf_light_miss)
+
+        mis_w = compute_mis_weight(pdf_l, pdf_light)
+        w = regularize_weight(
+            throughput
+            * jnp.where(
+                pdf_l > 0.0,
+                mis_w * jnp.abs(wi_l[..., 1]) / jnp.maximum(pdf_l, 1e-12),
+                0.0,
+            )[..., None]
+            * f_l
+        )
+        radiance = radiance + jnp.where(_mask3(alive), w * le, 0.0)
+
+        # --- next bounce (pt.cu:927-943)
+        u1, smp = sample_1d(smp)
+        u2, smp = sample_2d(smp)
+        wi_n, f_n, pdf_n = bsdf_mod.sample(ctx, wo, u1, u2)
+        wi_world = local_to_world(wi_n, tangent, normal, bitangent)
+        bounce_w = jnp.where(
+            pdf_n > 0.0, jnp.abs(wi_n[..., 1]) / jnp.maximum(pdf_n, 1e-12), 0.0
+        )
+        new_throughput = throughput * f_n * bounce_w[..., None]
+        transmitted = dot(wi_world, surf["n_g"]) < 0.0
+        new_origin = ray_origin_offset(
+            surf["x"], jnp.where(_mask3(transmitted), -surf["n_g"], surf["n_g"])
+        )
+
+        # throughput NaN/Inf kill (pt.cu:469)
+        tp_ok = is_finite3(new_throughput)
+        alive = alive & tp_ok & (pdf_n > 0.0)
+
+        keep = _mask3(state["alive"])
+        return {
+            "origin": jnp.where(keep & _mask3(alive), new_origin, state["origin"]),
+            "direction": jnp.where(
+                keep & _mask3(alive), wi_world, state["direction"]
+            ),
+            "throughput": jnp.where(
+                keep & _mask3(alive), new_throughput, state["throughput"]
+            ),
+            "radiance": jnp.where(keep, radiance, state["radiance"]),
+            "alive": alive,
+            "firsthit": firsthit,
+            "position": position,
+            "normal": normal_aov,
+            "depth_aov": depth_aov,
+            "texcoord_aov": texcoord_aov,
+            "albedo": albedo,
+            "smp": smp,
+            "depth": state["depth"] + 1,
+            "n_path_vertices": n_path_vertices,
+        }
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # radiance NaN scrub (pt.cu:474-478)
+    radiance = jnp.where(
+        _mask3(is_finite3(state["radiance"])), state["radiance"], 0.0
+    )
+    return {
+        "radiance": radiance,
+        "position": state["position"],
+        "normal": state["normal"],
+        "depth": state["depth_aov"],
+        "texcoord": state["texcoord_aov"],
+        "albedo": state["albedo"],
+        "n_path_vertices": state["n_path_vertices"],
+    }
+
+
+def render_progressive(dev, params, layers, sample_count, n_samples: int):
+    """Accumulate n_samples progressive samples into the render layers with
+    the streaming average keyed by per-pixel sample_count (pt.cu:480-501).
+
+    layers: dict of AOV buffers {beauty [N,3], position [N,3], normal [N,3],
+    depth [N], texcoord [N,2], albedo [N,3]}; sample_count: [N] uint32.
+    Returns (new_layers, new_sample_count).
+    """
+
+    def one_sample(carry, _):
+        layers, n_spp = carry
+        out = render_sample(dev, params, n_spp)
+        coef = 1.0 / (n_spp.astype(jnp.float32) + 1.0)
+        nf = n_spp.astype(jnp.float32)
+
+        def avg(old, new, vec):
+            c = coef[..., None] if vec else coef
+            nn = nf[..., None] if vec else nf
+            return c * (nn * old + new)
+
+        new_layers = {
+            "beauty": avg(layers["beauty"], out["radiance"], True),
+            "position": avg(layers["position"], out["position"], True),
+            "normal": avg(layers["normal"], out["normal"], True),
+            "depth": avg(layers["depth"], out["depth"], False),
+            "texcoord": avg(layers["texcoord"], out["texcoord"], True),
+            "albedo": avg(layers["albedo"], out["albedo"], True),
+            "n_path_vertices": layers["n_path_vertices"]
+            + out["n_path_vertices"],
+        }
+        return (new_layers, n_spp + jnp.uint32(1)), None
+
+    (layers, sample_count), _ = jax.lax.scan(
+        one_sample, (layers, sample_count), None, length=n_samples
+    )
+    return layers, sample_count
+
+
+def make_layers(n: int):
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    return {
+        "beauty": z3,
+        "position": z3,
+        "normal": z3,
+        "depth": jnp.zeros((n,), jnp.float32),
+        "texcoord": jnp.zeros((n, 2), jnp.float32),
+        "albedo": z3,
+        # lifetime count of shaded path vertices (for perf accounting)
+        "n_path_vertices": jnp.zeros((), jnp.float32),
+    }

@@ -1,0 +1,101 @@
+"""Multi-chip rendering: shard the pixel grid over a device mesh.
+
+TPU-native scaling model (SURVEY.md section 2 "parallelism strategies"):
+path tracing is data-parallel over pixels, so we `shard_map` horizontal
+image bands across the mesh's devices — each chip runs the full wavefront
+integrator on its band with zero inter-chip traffic during tracing (the
+scene SoA is replicated; AOV layers stay sharded). The only collective in
+the whole pipeline is the final `psum` of the path-vertex perf counter
+(and, for spp-sharded accumulation, a weighted mean of layer buffers).
+
+This replaces the reference's single-GPU launch (renderer.h:730-733) with
+`jax.sharding.Mesh` + `shard_map` over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..integrator.pt import render_progressive
+
+from jax import shard_map  # jax >= 0.8
+
+
+def make_mesh(n_devices=None, axis: str = "tiles") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def render_progressive_sharded(
+    mesh: Mesh,
+    dev: Dict,
+    static_params: Dict,
+    dynamic_params: Dict,
+    layers: Dict,
+    sample_count,
+    n_samples: int,
+    axis: str = "tiles",
+):
+    """Sharded analog of render_progressive.
+
+    static_params: python values (width, height, max_depth, sky_mode,
+    has_directional_light) baked into the program; dynamic_params: traced
+    arrays (camera, seed, colors, sky state). layers/sample_count are
+    sharded along the pixel dimension (row bands); dev and dynamic_params
+    are replicated. Returns (layers, sample_count), same shardings.
+    """
+    n_dev = mesh.shape[axis]
+    height = static_params["height"]
+    assert height % n_dev == 0, (
+        f"height {height} must divide the {n_dev}-device mesh axis"
+    )
+    tile_h = height // n_dev
+
+    # integrator branches on these at trace time — keep them out of the
+    # traced pytree and reinsert via closure
+    static_dev_keys = (
+        "n_lights",
+        "any_heightmap",
+        "any_normalmap",
+        "any_textures",
+        "use_dense",
+    )
+    static_dev = {k: dev[k] for k in static_dev_keys if k in dev}
+    dev = {k: v for k, v in dev.items() if k not in static_dev_keys}
+
+    def tile_fn(layers_t, count_t, dev_r, dyn_r):
+        idx = jax.lax.axis_index(axis)
+        dev_r = {**dev_r, **static_dev}
+        p = dict(dyn_r)
+        p.update(static_params)
+        p["tile_height"] = tile_h
+        p["y0"] = idx * tile_h
+        new_layers, new_count = render_progressive(
+            dev_r, p, layers_t, count_t, n_samples
+        )
+        # per-shard vertex counters join into the global count
+        new_layers["n_path_vertices"] = jax.lax.psum(
+            new_layers["n_path_vertices"], axis
+        )
+        return new_layers, new_count
+
+    def spec_of(leaf):
+        return P(axis) if getattr(leaf, "ndim", 0) > 0 else P()
+
+    layer_specs = jax.tree.map(spec_of, layers)
+
+    fn = shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(layer_specs, P(axis), P(), P()),
+        out_specs=(layer_specs, P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(layers, sample_count, dev, dynamic_params)

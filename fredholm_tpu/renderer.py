@@ -1,0 +1,262 @@
+"""Host-side render orchestration.
+
+TPU-native analog of fredholm::Renderer (/root/reference/fredholm/include/
+fredholm/renderer.h:29-846): owns the device scene (our BVH + SoA instead of
+OptiX pipeline/SBT/GAS/IAS), sky/light state, per-pixel sample-count buffer
+and AOV render layers, and drives the jitted progressive integrator.
+
+jit specialization: array-valued state (camera transform, seed, colors, sky
+coefficients) flows through a `dynamic` pytree so camera motion does NOT
+recompile; shape/branch-affecting settings (resolution, max depth, sky mode,
+light presence, lobe/texture availability) form a hashable static config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import Camera
+from .integrator.pt import make_layers, render_progressive
+from .scene.device import build_device_scene, update_device_scene_transforms
+from .scene.types import DirectionalLight, Scene
+from .sky import hosek as hosek_mod
+from .sky.ibl import load_ibl, make_ibl
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticConfig:
+    width: int
+    height: int
+    max_depth: int
+    sky_mode: int
+    has_directional_light: bool
+    n_lights: int
+    n_samples: int
+    any_heightmap: bool
+    any_normalmap: bool
+    any_textures: bool
+    use_dense: bool
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _render_jit(arrays, dynamic, layers, sample_count, config: StaticConfig):
+    dev = dict(arrays)
+    dev["n_lights"] = config.n_lights
+    dev["any_heightmap"] = config.any_heightmap
+    dev["any_normalmap"] = config.any_normalmap
+    dev["any_textures"] = config.any_textures
+    dev["use_dense"] = config.use_dense
+    params = dict(dynamic)
+    params["width"] = config.width
+    params["height"] = config.height
+    params["max_depth"] = config.max_depth
+    params["sky_mode"] = config.sky_mode
+    params["has_directional_light"] = config.has_directional_light
+    return render_progressive(
+        dev, params, layers, sample_count, config.n_samples
+    )
+
+
+class Renderer:
+    """Progressive wavefront renderer with AOV layers."""
+
+    SKY_CONSTANT = 0
+    SKY_IBL = 1
+    SKY_HOSEK = 2
+
+    def __init__(self, width: int = 512, height: int = 512):
+        self.width = width
+        self.height = height
+        self.scene: Optional[Scene] = None
+        self._dev: Optional[Dict] = None
+        self.camera = Camera(origin=np.asarray([0.0, 1.0, 5.0], np.float32))
+
+        self.bg_color = np.zeros(3, np.float32)
+        self.sky_mode = self.SKY_CONSTANT
+        self.sky_intensity = 1.0
+        self.ibl = None
+        self.hosek_state = None
+        self.sun_direction = np.asarray([0.0, 1.0, 0.0], np.float32)
+        self.directional_light: Optional[DirectionalLight] = None
+        self.seed = 42
+        self.dense_threshold = 1024
+
+        self.init_render_states()
+
+    # -- scene ------------------------------------------------------------
+
+    def set_scene(self, scene: Scene):
+        self.scene = scene
+        self._dev = build_device_scene(scene)
+        if scene.has_camera_transform and scene.camera_transform is not None:
+            self.camera.set_transform(scene.camera_transform)
+        self.init_render_states()
+
+    def load_scene(self, filepath: str, clear: bool = True):
+        """Load .obj or .gltf (renderer.h:354, scene.cpp:103-117)."""
+        from .scene.loaders import load_model
+
+        if clear or self.scene is None:
+            scene = load_model(filepath)
+        else:
+            scene = load_model(filepath, into=self.scene)
+        self.set_scene(scene)
+
+    def set_time(self, time: float):
+        """Animation step: update node transforms, refresh device scene
+        (renderer.h:614-640)."""
+        if self.scene is None:
+            return
+        from .scene.animation import update_animation
+
+        update_animation(self.scene, time)
+        self._dev = update_device_scene_transforms(self._dev)
+        if self.scene.has_camera_transform and self.scene.camera_transform is not None:
+            self.camera.set_transform(self.scene.camera_transform)
+
+    # -- lights / sky ------------------------------------------------------
+
+    def set_directional_light(self, le, direction, angle: float = 0.0):
+        d = np.asarray(direction, np.float32)
+        d = d / max(np.linalg.norm(d), 1e-12)
+        self.directional_light = DirectionalLight(
+            le=tuple(np.asarray(le, np.float32)), direction=tuple(d), angle=angle
+        )
+        self.sun_direction = d
+
+    def clear_directional_light(self):
+        self.directional_light = None
+
+    def set_sky_intensity(self, intensity: float):
+        self.sky_intensity = float(intensity)
+
+    def set_bg_color(self, color):
+        self.bg_color = np.asarray(color, np.float32)
+        self.sky_mode = self.SKY_CONSTANT
+
+    def load_ibl(self, filepath: str):
+        self.ibl = load_ibl(filepath)
+        self.sky_mode = self.SKY_IBL
+
+    def set_ibl(self, image: np.ndarray):
+        self.ibl = make_ibl(image)
+        self.sky_mode = self.SKY_IBL
+
+    def clear_ibl(self):
+        self.ibl = None
+        if self.sky_mode == self.SKY_IBL:
+            self.sky_mode = self.SKY_CONSTANT
+
+    def load_arhosek_sky(self, turbidity: float, albedo: float):
+        """Couple the Hosek dome to the current sun direction
+        (renderer.h:588-607)."""
+        elevation = hosek_mod.sun_elevation_from_direction(self.sun_direction)
+        self.hosek_state = hosek_mod.cook_state(turbidity, albedo, elevation)
+        self.sky_mode = self.SKY_HOSEK
+
+    def clear_arhosek_sky(self):
+        self.hosek_state = None
+        if self.sky_mode == self.SKY_HOSEK:
+            self.sky_mode = self.SKY_CONSTANT
+
+    # -- render state ------------------------------------------------------
+
+    def set_resolution(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.init_render_states()
+
+    def init_render_states(self):
+        """Zero the accumulators (renderer.h:650-655, controller.cpp:198)."""
+        n = self.width * self.height
+        self.layers = make_layers(n)
+        self.sample_count = jnp.zeros((n,), jnp.uint32)
+
+    @property
+    def n_accumulated(self) -> int:
+        return int(np.asarray(self.sample_count[0]))
+
+    # -- render ------------------------------------------------------------
+
+    def _dynamic_params(self) -> Dict:
+        dyn = {
+            "camera": self.camera.device_params(),
+            "seed": jnp.uint32(self.seed),
+            "bg_color": jnp.asarray(self.bg_color),
+            "sky_intensity": jnp.float32(self.sky_intensity),
+            "sun_direction": jnp.asarray(self.sun_direction),
+        }
+        if self.sky_mode == self.SKY_IBL:
+            dyn["ibl"] = self.ibl
+        elif self.sky_mode == self.SKY_HOSEK:
+            dyn["hosek"] = self.hosek_state
+        if self.directional_light is not None:
+            dl = self.directional_light
+            dyn["directional_light"] = {
+                "le": jnp.asarray(np.asarray(dl.le, np.float32)),
+                "dir": jnp.asarray(np.asarray(dl.direction, np.float32)),
+                "angle": jnp.float32(dl.angle),
+            }
+        return dyn
+
+    def _arrays(self) -> Dict:
+        return {k: v for k, v in self._dev.items() if not k.startswith("_") and k not in ("n_lights",)}
+
+    def _config(self, n_samples: int, max_depth: int) -> StaticConfig:
+        scene = self.scene
+        any_hm = any(m.heightmap_texture_id >= 0 for m in scene.materials)
+        any_nm = any(m.normalmap_texture_id >= 0 for m in scene.materials)
+        return StaticConfig(
+            width=self.width,
+            height=self.height,
+            max_depth=max_depth,
+            sky_mode=self.sky_mode,
+            has_directional_light=self.directional_light is not None,
+            n_lights=self._dev["n_lights"],
+            n_samples=n_samples,
+            any_heightmap=any_hm,
+            any_normalmap=any_nm,
+            any_textures=len(scene.textures) > 0,
+            # dense all-triangles intersection wins on TPU for small scenes
+            # (regular streaming beats irregular BVH gathers)
+            use_dense=self._dev["n_faces"] <= self.dense_threshold,
+        )
+
+    def render(self, n_samples: int = 1, max_depth: int = 10) -> Dict:
+        """Accumulate n_samples progressive spp; returns the AOV layers as
+        a dict of device arrays (Renderer::render, renderer.h:657-734).
+
+        The spp loop runs on the host (one jit dispatch per sample): the
+        axon TPU backend currently miscompiles a lax.scan wrapping the
+        traversal while_loop, and a single compiled 1-spp step is reused
+        across every call regardless of n_samples anyway.
+        """
+        assert self._dev is not None, "no scene loaded"
+        config = self._config(1, max_depth)
+        arrays = self._arrays()
+        dynamic = self._dynamic_params()
+        for _ in range(n_samples):
+            self.layers, self.sample_count = _render_jit(
+                arrays, dynamic, self.layers, self.sample_count, config
+            )
+        return self.layers
+
+    def wait_for_completion(self):
+        """cudaDeviceSynchronize analog (renderer.h:736)."""
+        jax.block_until_ready(self.layers)
+
+    # -- output ------------------------------------------------------------
+
+    def get_layer(self, name: str) -> np.ndarray:
+        """AOV as a [H, W, C] image (top-down rows)."""
+        from .utils.image import layer_to_image
+
+        return layer_to_image(
+            np.asarray(self.layers[name]), self.width, self.height
+        )

@@ -1,0 +1,111 @@
+"""Host scene -> device SoA ("upload" step).
+
+TPU-native analog of Renderer::load_scene + build_gas/build_ias
+(/root/reference/fredholm/include/fredholm/renderer.h:354-552): instead of
+OptiX accel structures we pre-transform every instanced face into world
+space, build the threaded BVH over the flattened triangle soup, and pack
+per-face attribute SoA so a hit shades with contiguous gathers by prim id.
+
+`set_time`-style animation updates (renderer.h:614-640) re-run
+`world_face_data` with new transforms and refit the BVH (topology is kept).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.bvh import build_bvh, refit_bvh
+from ..accel.traverse import build_device_bvh
+from .texture import pack_textures
+from .types import Scene, materials_to_soa
+
+
+def _affine_rows(m4: np.ndarray) -> np.ndarray:
+    """4x4 -> [3, 4] row-major affine."""
+    return np.asarray(m4, np.float32)[:3, :]
+
+
+def world_face_data(scene: Scene) -> Dict[str, np.ndarray]:
+    """Per-face world-space SoA: verts [F,3,3], normals [F,3,3], uvs
+    [F,3,2]."""
+    v = scene.vertices[scene.indices]  # [F, 3, 3] object space
+    n = scene.normals[scene.indices]
+    uv = scene.texcoords[scene.indices]
+
+    o2w = np.asarray(scene.transforms, np.float32)  # [I, 4, 4]
+    inst = scene.instance_ids
+    m = o2w[inst]  # [F, 4, 4]
+    vw = np.einsum("fij,fkj->fki", m[:, :3, :3], v) + m[:, None, :3, 3]
+    m_inv = np.linalg.inv(o2w)[inst]  # [F, 4, 4]
+    # normal transform: (M^-1)^T
+    nw = np.einsum("fji,fkj->fki", m_inv[:, :3, :3], n)
+    norm = np.linalg.norm(nw, axis=-1, keepdims=True)
+    nw = nw / np.maximum(norm, 1e-12)
+    return {
+        "verts": vw.astype(np.float32),
+        "normals": nw.astype(np.float32),
+        "uvs": uv.astype(np.float32),
+    }
+
+
+def build_device_scene(scene: Scene) -> Dict:
+    """Full device scene dict consumed by the integrator."""
+    assert scene.is_valid(), "invalid scene"
+    fd = world_face_data(scene)
+    vw = fd["verts"]
+
+    v0 = vw[:, 0]
+    e1 = vw[:, 1] - vw[:, 0]
+    e2 = vw[:, 2] - vw[:, 0]
+    lo = vw.min(axis=1)
+    hi = vw.max(axis=1)
+    bvh = build_bvh(lo, hi)
+    dev_bvh = build_device_bvh(bvh, v0, e1, e2)
+
+    mats = materials_to_soa(scene.materials)
+    n_mats = len(scene.materials) if scene.materials else 1
+    mat_ids = np.clip(scene.material_ids, 0, n_mats - 1).astype(np.int32)
+
+    lights = scene.emissive_faces().astype(np.int32)
+
+    dev = {
+        "bvh": dev_bvh,
+        "face_verts": jnp.asarray(fd["verts"]),
+        "face_normals": jnp.asarray(fd["normals"]),
+        "face_uvs": jnp.asarray(fd["uvs"]),
+        "face_mat": jnp.asarray(mat_ids),
+        "materials": {k: jnp.asarray(v) for k, v in mats.items()},
+        "textures": pack_textures(scene.textures),
+        "lights": jnp.asarray(lights),
+        "n_lights": int(lights.shape[0]),
+        "n_faces": int(scene.n_faces()),
+    }
+    # host-side handles for animation refresh
+    dev["_host"] = {"scene": scene, "bvh": bvh}
+    return dev
+
+
+def update_device_scene_transforms(dev: Dict) -> Dict:
+    """Refresh world-space data after scene.transforms changed
+    (set_time analog, renderer.h:614-640). Returns an updated dict; BVH
+    topology is kept and bounds are refit host-side."""
+    host = dev["_host"]
+    scene: Scene = host["scene"]
+    bvh = host["bvh"]
+    fd = world_face_data(scene)
+    vw = fd["verts"]
+    lo = vw.min(axis=1)
+    hi = vw.max(axis=1)
+    refit_bvh(bvh, lo, hi)
+    v0 = vw[:, 0]
+    e1 = vw[:, 1] - vw[:, 0]
+    e2 = vw[:, 2] - vw[:, 0]
+    new = dict(dev)
+    new["bvh"] = build_device_bvh(bvh, v0, e1, e2)
+    new["face_verts"] = jnp.asarray(fd["verts"])
+    new["face_normals"] = jnp.asarray(fd["normals"])
+    new["face_uvs"] = jnp.asarray(fd["uvs"])
+    return new

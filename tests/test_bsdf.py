@@ -1,0 +1,275 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fredholm_tpu.bsdf import bsdf as bsdf_mod
+from fredholm_tpu.bsdf import lobes
+from fredholm_tpu.bsdf.fresnel import (
+    artist_friendly_metallic_fresnel,
+    fresnel_conductor,
+    fresnel_dielectric,
+    fresnel_schlick,
+)
+from fredholm_tpu.sampling.mappings import sample_cosine_weighted_hemisphere
+
+
+def unit_hemisphere(n, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(n, 3)).astype(np.float32)
+    w[:, 1] = np.abs(w[:, 1]) + 0.05
+    w /= np.linalg.norm(w, axis=-1, keepdims=True)
+    return jnp.asarray(w)
+
+
+def uniform2(n, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).uniform(size=(n, 2)).astype(np.float32)
+    )
+
+
+def default_sp(n, **over):
+    sp = {
+        "base_color": jnp.full((n, 3), 1.0),
+        "specular_color": jnp.full((n, 3), 1.0),
+        "coat_color": jnp.full((n, 3), 1.0),
+        "transmission_color": jnp.full((n, 3), 1.0),
+        "sheen_color": jnp.full((n, 3), 1.0),
+        "subsurface_color": jnp.full((n, 3), 1.0),
+        "diffuse": jnp.full((n,), 1.0),
+        "diffuse_roughness": jnp.full((n,), 0.0),
+        "specular": jnp.full((n,), 0.0),
+        "specular_roughness": jnp.full((n,), 0.2),
+        "metalness": jnp.full((n,), 0.0),
+        "coat": jnp.full((n,), 0.0),
+        "coat_roughness": jnp.full((n,), 0.1),
+        "transmission": jnp.full((n,), 0.0),
+        "sheen": jnp.full((n,), 0.0),
+        "sheen_roughness": jnp.full((n,), 0.3),
+        "subsurface": jnp.full((n,), 0.0),
+        "thin_walled": jnp.full((n,), 0.0),
+    }
+    for k, v in over.items():
+        if k.endswith("color"):
+            sp[k] = jnp.full((n, 3), 1.0) * jnp.asarray(v)
+        else:
+            sp[k] = jnp.full((n,), v)
+    return sp
+
+
+class TestFresnel:
+    def test_schlick_bounds(self):
+        cos = jnp.linspace(0.0, 1.0, 32)
+        f = fresnel_schlick(cos, jnp.float32(0.04))
+        assert float(f[-1]) == pytest.approx(0.04, abs=1e-6)
+        assert float(f[0]) == pytest.approx(1.0, abs=1e-6)
+
+    def test_dielectric_normal_incidence(self):
+        # F0 = ((n-1)/(n+1))^2 = 0.04 for n=1.5
+        f = fresnel_dielectric(jnp.asarray([1.0]), jnp.asarray([1.5]))
+        assert float(f[0]) == pytest.approx(0.04, abs=1e-3)
+
+    def test_dielectric_tir(self):
+        # from dense side at grazing: relative ior < 1 -> TIR
+        f = fresnel_dielectric(jnp.asarray([0.1]), jnp.asarray([1.0 / 1.5]))
+        assert float(f[0]) == pytest.approx(1.0)
+
+    def test_conductor_reasonable(self):
+        # gold-ish values produce high reflectance
+        n = jnp.asarray([[0.2, 0.4, 1.4]])
+        k = jnp.asarray([[3.0, 2.5, 1.8]])
+        f = fresnel_conductor(jnp.asarray([1.0]), n, k)
+        # analytic normal-incidence reflectance ((n-1)^2+k^2)/((n+1)^2+k^2)
+        expect = ((np.asarray(n) - 1) ** 2 + np.asarray(k) ** 2) / (
+            (np.asarray(n) + 1) ** 2 + np.asarray(k) ** 2
+        )
+        np.testing.assert_allclose(np.asarray(f), expect, rtol=1e-5)
+
+    def test_artist_friendly_roundtrip(self):
+        # conductor fresnel at normal incidence must reproduce reflectivity
+        refl = jnp.asarray([[0.9, 0.7, 0.3]])
+        tint = jnp.asarray([[0.9, 0.9, 0.9]])
+        n, k = artist_friendly_metallic_fresnel(refl, tint)
+        f0 = fresnel_conductor(jnp.asarray([1.0]), n, k)
+        np.testing.assert_allclose(np.asarray(f0)[0], np.asarray(refl)[0], atol=0.02)
+
+
+class TestLobes:
+    def test_lambert_white_furnace(self):
+        # integral of f*cos over hemisphere == albedo for Lambert
+        n = 8192
+        wi = sample_cosine_weighted_hemisphere(uniform2(n, 1))
+        wo = unit_hemisphere(n, 2)
+        albedo = jnp.full((n, 3), 0.7)
+        f = lobes.lambert_eval(albedo, wo, wi)
+        pdf = lobes.lambert_pdf(wo, wi)
+        est = np.asarray(
+            f * (jnp.abs(wi[..., 1]) / jnp.maximum(pdf, 1e-9))[..., None]
+        ).mean(0)
+        np.testing.assert_allclose(est, 0.7, rtol=0.02)
+
+    def test_oren_nayar_zero_roughness_is_lambert(self):
+        n = 512
+        wo = unit_hemisphere(n, 3)
+        wi = unit_hemisphere(n, 4)
+        albedo = jnp.full((n, 3), 0.5)
+        on = lobes.oren_nayar_eval(albedo, jnp.zeros((n,)), wo, wi)
+        lam = lobes.lambert_eval(albedo, wo, wi)
+        np.testing.assert_allclose(np.asarray(on), np.asarray(lam), atol=1e-6)
+
+    def test_ggx_reciprocity(self):
+        n = 1024
+        wo = unit_hemisphere(n, 5)
+        wi = unit_hemisphere(n, 6)
+        alpha = jnp.full((n, 2), 0.09)
+        ior = jnp.full((n,), 1.5)
+        f_ab = lobes.microfacet_reflection_dielectric_eval(ior, alpha, wo, wi)
+        f_ba = lobes.microfacet_reflection_dielectric_eval(ior, alpha, wi, wo)
+        np.testing.assert_allclose(
+            np.asarray(f_ab), np.asarray(f_ba), rtol=1e-3, atol=1e-5
+        )
+
+    def test_ggx_sample_pdf_consistency(self):
+        # E[cos / pdf * f] using sample() must match a cosine-sampled
+        # independent estimate of the same integral
+        n = 32768
+        wo = jnp.broadcast_to(
+            jnp.asarray([0.4, 0.8, 0.0]) / jnp.linalg.norm(jnp.asarray([0.4, 0.8, 0.0])),
+            (n, 3),
+        )
+        alpha = jnp.full((n, 2), 0.25)
+        ior = jnp.full((n,), 1.5)
+        wi_s, f_s, pdf_s = lobes.microfacet_reflection_dielectric_sample(
+            ior, alpha, wo, uniform2(n, 7)
+        )
+        up = np.asarray(wi_s)[:, 1] > 0
+        est_vndf = (
+            np.asarray(f_s)[:, 0]
+            * np.abs(np.asarray(wi_s)[:, 1])
+            / np.maximum(np.asarray(pdf_s), 1e-9)
+        )[up].sum() / n
+
+        wi_c = sample_cosine_weighted_hemisphere(uniform2(n, 8))
+        f_c = lobes.microfacet_reflection_dielectric_eval(ior, alpha, wo, wi_c)
+        pdf_c = np.abs(np.asarray(wi_c)[:, 1]) / np.pi
+        est_cos = (
+            np.asarray(f_c)[:, 0]
+            * np.abs(np.asarray(wi_c)[:, 1])
+            / np.maximum(pdf_c, 1e-9)
+        ).mean()
+        np.testing.assert_allclose(est_vndf, est_cos, rtol=0.05)
+
+    def test_ggx_energy_below_one(self):
+        # single-scatter GGX with F=1 must not gain energy
+        n = 32768
+        wo = unit_hemisphere(n, 9)
+        alpha = jnp.full((n, 2), 0.5)
+        ior = jnp.full((n,), 1e9)  # fresnel ~ 1
+        wi_s, f_s, pdf_s = lobes.microfacet_reflection_dielectric_sample(
+            ior, alpha, wo, uniform2(n, 10)
+        )
+        w = (
+            np.asarray(f_s)[:, 0]
+            * np.abs(np.asarray(wi_s)[:, 1])
+            / np.maximum(np.asarray(pdf_s), 1e-9)
+        )
+        w = np.where(np.asarray(wi_s)[:, 1] > 0, w, 0.0)
+        assert w.mean() <= 1.0 + 1e-3
+
+    def test_transmission_refracts_downward(self):
+        n = 4096
+        wo = unit_hemisphere(n, 11)
+        alpha = jnp.full((n, 2), 0.01)
+        ior_i = jnp.full((n,), 1.0)
+        ior_t = jnp.full((n,), 1.5)
+        wi, f, pdf = lobes.microfacet_transmission_sample(
+            ior_i, ior_t, alpha, wo, uniform2(n, 12)
+        )
+        # most samples refract into the lower hemisphere
+        assert (np.asarray(wi)[:, 1] < 0).mean() > 0.8
+
+    def test_sheen_peaks_at_grazing(self):
+        n = 2
+        wo = jnp.asarray([[0.1, 0.995, 0.0], [0.995, 0.1, 0.0]])
+        wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+        wi = wo
+        f = lobes.sheen_eval(jnp.full((n,), 0.3), wo, wi)
+        assert float(f[1, 0]) > float(f[0, 0])
+
+
+class TestLayeredBSDF:
+    def test_diffuse_only_matches_oren_nayar(self):
+        n = 1024
+        wo = unit_hemisphere(n, 13)
+        wi = unit_hemisphere(n, 14)
+        sp = default_sp(n, base_color=0.6)
+        ctx = bsdf_mod.setup(wo, sp, jnp.ones((n,), bool))
+        f = bsdf_mod.eval(ctx, wo, wi)
+        ref = lobes.oren_nayar_eval(sp["base_color"], sp["diffuse_roughness"], wo, wi)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(ref), rtol=1e-4)
+
+    def test_pdf_integrates_to_one(self):
+        # mixture pdf over the sphere ~ 1 (diffuse-only => cosine pdf)
+        n = 65536
+        rng = np.random.default_rng(15)
+        # uniform sphere directions
+        w = rng.normal(size=(n, 3)).astype(np.float32)
+        w /= np.linalg.norm(w, axis=-1, keepdims=True)
+        wi = jnp.asarray(w)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+        sp = default_sp(n)
+        ctx = bsdf_mod.setup(wo, sp, jnp.ones((n,), bool))
+        pdf = np.asarray(bsdf_mod.eval_pdf(ctx, wo, wi))
+        integral = pdf.mean() * 4.0 * np.pi
+        np.testing.assert_allclose(integral, 1.0, rtol=0.05)
+
+    def test_metal_kills_diffuse(self):
+        n = 256
+        wo = unit_hemisphere(n, 16)
+        sp = default_sp(n, metalness=1.0, specular_roughness=0.4)
+        ctx = bsdf_mod.setup(wo, sp, jnp.ones((n,), bool))
+        pmf = np.asarray(ctx["pmf"])
+        assert pmf[:, 1].mean() > 0.99  # all weight on the metal lobe
+
+    def test_sample_returns_valid(self):
+        n = 4096
+        wo = unit_hemisphere(n, 17)
+        sp = default_sp(
+            n,
+            metalness=0.3,
+            specular=1.0,
+            coat=0.5,
+            sheen=0.5,
+            transmission=0.2,
+        )
+        ctx = bsdf_mod.setup(wo, sp, jnp.ones((n,), bool))
+        u = jnp.asarray(np.random.default_rng(18).uniform(size=n).astype(np.float32))
+        wi, f, pdf = bsdf_mod.sample(ctx, wo, u, uniform2(n, 19))
+        assert np.isfinite(np.asarray(wi)).all()
+        assert np.isfinite(np.asarray(f)).all()
+        assert np.isfinite(np.asarray(pdf)).all()
+        assert (np.asarray(pdf) >= 0).all()
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(wi), axis=-1), 1.0, atol=1e-3
+        )
+
+    def test_inside_disables_reflection_lobes(self):
+        n = 128
+        wo = unit_hemisphere(n, 20)
+        sp = default_sp(n, metalness=0.5, specular=1.0, coat=1.0, transmission=0.5)
+        ctx = bsdf_mod.setup(wo, sp, jnp.zeros((n,), bool))
+        pmf = np.asarray(ctx["pmf"])
+        # only transmission (idx 3) can be active from inside
+        assert pmf[:, 3].mean() > 0.99
+
+    def test_white_furnace_diffuse_full(self):
+        # full-path importance-sampled furnace: E[f cos / pdf] == 1
+        n = 65536
+        wo = unit_hemisphere(n, 21)
+        sp = default_sp(n, base_color=1.0)
+        ctx = bsdf_mod.setup(wo, sp, jnp.ones((n,), bool))
+        u = jnp.asarray(np.random.default_rng(22).uniform(size=n).astype(np.float32))
+        wi, f, pdf = bsdf_mod.sample(ctx, wo, u, uniform2(n, 23))
+        w = np.asarray(f)[:, 0] * np.abs(np.asarray(wi)[:, 1]) / np.maximum(
+            np.asarray(pdf), 1e-9
+        )
+        np.testing.assert_allclose(w.mean(), 1.0, rtol=0.02)
