@@ -47,7 +47,8 @@ def main() -> None:
 
     r = Renderer(width=args.width, height=args.height)
     r.set_scene(cornell_box())
-    r.camera.origin = np.asarray([0.0, 1.0, 3.4], np.float32)
+    # camera just inside the box opening: every primary ray hits geometry
+    r.camera.origin = np.asarray([0.0, 1.0, 0.99], np.float32)
     r.camera._update_transform()
 
     # warmup / compile

@@ -43,12 +43,24 @@ def _sanitize1(v):
     return jnp.where(jnp.isfinite(v), v, 0.0)
 
 
-def setup(wo, sp: Dict, is_entering) -> Dict:
-    """BSDF 'constructor' (bsdf.cu:11-127)."""
+ALL_LOBES = ("coat", "metal", "specular", "transmission", "sheen",
+             "diffuse_t", "diffuse_r")
+
+
+def setup(wo, sp: Dict, is_entering, lobes_on=ALL_LOBES) -> Dict:
+    """BSDF 'constructor' (bsdf.cu:11-127).
+
+    `lobes_on` is a STATIC tuple naming the lobes any material in the scene
+    can activate; the host derives it from material parameters so scenes
+    that never use e.g. transmission skip that lobe's code entirely — the
+    static analog of the reference's per-thread zero-weight guards
+    (bsdf.cu:129-176).
+    """
     ni = jnp.where(is_entering, 1.0, 1.5)
     nt = jnp.where(is_entering, 1.5, 1.0)
     eta = nt / ni
 
+    on = frozenset(lobes_on)
     coat_lum = rgb_to_luminance(sp["coat_color"])
     spec_lum = rgb_to_luminance(sp["specular_color"])
     sheen_lum = rgb_to_luminance(sp["sheen_color"])
@@ -64,20 +76,35 @@ def setup(wo, sp: Dict, is_entering) -> Dict:
     )
 
     f0 = ((nt - ni) / (nt + ni)) ** 2
-    coat_albedo = jnp.where(
-        (sp["coat"] * coat_lum > 0.0) & is_entering,
-        compute_directional_albedo_reflection(wo, sp["coat_roughness"], f0),
-        0.0,
+    zero = jnp.zeros_like(sp["coat"])
+    coat_albedo = (
+        jnp.where(
+            (sp["coat"] * coat_lum > 0.0) & is_entering,
+            compute_directional_albedo_reflection(wo, sp["coat_roughness"], f0),
+            0.0,
+        )
+        if "coat" in on
+        else zero
     )
-    spec_albedo = jnp.where(
-        (sp["specular"] * spec_lum > 0.0) & (eta >= 1.0),
-        compute_directional_albedo_reflection(wo, sp["specular_roughness"], f0),
-        0.0,
+    spec_albedo = (
+        jnp.where(
+            (sp["specular"] * spec_lum > 0.0) & (eta >= 1.0),
+            compute_directional_albedo_reflection(
+                wo, sp["specular_roughness"], f0
+            ),
+            0.0,
+        )
+        if "specular" in on
+        else zero
     )
-    sheen_albedo = jnp.where(
-        (sp["sheen"] * sheen_lum > 0.0) & is_entering,
-        compute_directional_albedo_sheen(wo, sp["sheen_roughness"]),
-        0.0,
+    sheen_albedo = (
+        jnp.where(
+            (sp["sheen"] * sheen_lum > 0.0) & is_entering,
+            compute_directional_albedo_sheen(wo, sp["sheen_roughness"]),
+            0.0,
+        )
+        if "sheen" in on
+        else zero
     )
 
     # disable reflective lobes when evaluating from inside (bsdf.cu:56-62)
@@ -118,12 +145,16 @@ def setup(wo, sp: Dict, is_entering) -> Dict:
     total = jnp.sum(weights, axis=-1, keepdims=True)
     pmf = weights / jnp.where(total > 0.0, total, 1.0)
 
-    metal_n, metal_k = artist_friendly_metallic_fresnel(
-        jnp.clip(sp["base_color"], 0.0, 0.99),
-        jnp.clip(sp["specular_color"], 0.0, 0.99),
-    )
+    if "metal" in on:
+        metal_n, metal_k = artist_friendly_metallic_fresnel(
+            jnp.clip(sp["base_color"], 0.0, 0.99),
+            jnp.clip(sp["specular_color"], 0.0, 0.99),
+        )
+    else:
+        metal_n = metal_k = jnp.ones_like(sp["base_color"])
 
     return {
+        "lobes_on": on,
         "sp": {
             **sp,
             "coat": coat,
@@ -173,66 +204,95 @@ def _lobe_evals(ctx, wo, wi):
     def gate1(on, v):
         return jnp.where(on, _sanitize1(v), 0.0)
 
-    f_coat = gate3(
-        coat_on,
-        lobes.microfacet_reflection_dielectric_eval(
-            ctx["eta"], ctx["coat_alpha"], wo, wi
-        ),
-    )
-    p_coat = gate1(
-        coat_on, lobes.microfacet_reflection_dielectric_pdf(ctx["coat_alpha"], wo, wi)
-    )
+    on = ctx["lobes_on"]
+    z3 = jnp.zeros(wo.shape, wo.dtype)
+    z1 = jnp.zeros(wo.shape[:-1], wo.dtype)
 
-    f_metal = gate3(
-        metal_on,
-        lobes.microfacet_reflection_conductor_eval(
-            ctx["metal_n"], ctx["metal_k"], ctx["spec_alpha"], wo, wi
-        ),
-    )
-    p_metal = gate1(
-        metal_on,
-        lobes.microfacet_reflection_conductor_pdf(ctx["spec_alpha"], wo, wi),
-    )
+    if "coat" in on:
+        f_coat = gate3(
+            coat_on,
+            lobes.microfacet_reflection_dielectric_eval(
+                ctx["eta"], ctx["coat_alpha"], wo, wi
+            ),
+        )
+        p_coat = gate1(
+            coat_on,
+            lobes.microfacet_reflection_dielectric_pdf(ctx["coat_alpha"], wo, wi),
+        )
+    else:
+        f_coat, p_coat = z3, z1
 
-    f_spec = gate3(
-        spec_on,
-        lobes.microfacet_reflection_dielectric_eval(
-            ctx["eta"], ctx["spec_alpha"], wo, wi
-        ),
-    )
-    p_spec = gate1(
-        spec_on, lobes.microfacet_reflection_dielectric_pdf(ctx["spec_alpha"], wo, wi)
-    )
+    if "metal" in on:
+        f_metal = gate3(
+            metal_on,
+            lobes.microfacet_reflection_conductor_eval(
+                ctx["metal_n"], ctx["metal_k"], ctx["spec_alpha"], wo, wi
+            ),
+        )
+        p_metal = gate1(
+            metal_on,
+            lobes.microfacet_reflection_conductor_pdf(ctx["spec_alpha"], wo, wi),
+        )
+    else:
+        f_metal, p_metal = z3, z1
 
-    f_trans = gate3(
-        trans_on,
-        lobes.microfacet_transmission_eval(
-            ctx["ni"], ctx["nt"], ctx["spec_alpha"], wo, wi
-        ),
-    )
-    p_trans = gate1(
-        trans_on,
-        lobes.microfacet_transmission_pdf(
-            ctx["ni"], ctx["nt"], ctx["spec_alpha"], wo, wi
-        ),
-    )
+    if "specular" in on:
+        f_spec = gate3(
+            spec_on,
+            lobes.microfacet_reflection_dielectric_eval(
+                ctx["eta"], ctx["spec_alpha"], wo, wi
+            ),
+        )
+        p_spec = gate1(
+            spec_on,
+            lobes.microfacet_reflection_dielectric_pdf(ctx["spec_alpha"], wo, wi),
+        )
+    else:
+        f_spec, p_spec = z3, z1
 
-    f_sheen = gate3(sheen_on, lobes.sheen_eval(sp["sheen_roughness"], wo, wi))
-    p_sheen = gate1(sheen_on, lobes.sheen_pdf(wo, wi))
+    if "transmission" in on:
+        f_trans = gate3(
+            trans_on,
+            lobes.microfacet_transmission_eval(
+                ctx["ni"], ctx["nt"], ctx["spec_alpha"], wo, wi
+            ),
+        )
+        p_trans = gate1(
+            trans_on,
+            lobes.microfacet_transmission_pdf(
+                ctx["ni"], ctx["nt"], ctx["spec_alpha"], wo, wi
+            ),
+        )
+    else:
+        f_trans, p_trans = z3, z1
 
-    f_dt = gate3(
-        difft_on,
-        lobes.diffuse_transmission_eval(
-            sp["base_color"], sp["diffuse_roughness"], wo, wi
-        ),
-    )
-    p_dt = gate1(difft_on, lobes.diffuse_transmission_pdf(wo, wi))
+    if "sheen" in on:
+        f_sheen = gate3(sheen_on, lobes.sheen_eval(sp["sheen_roughness"], wo, wi))
+        p_sheen = gate1(sheen_on, lobes.sheen_pdf(wo, wi))
+    else:
+        f_sheen, p_sheen = z3, z1
 
-    f_dr = gate3(
-        diffr_on,
-        lobes.oren_nayar_eval(sp["base_color"], sp["diffuse_roughness"], wo, wi),
-    )
-    p_dr = gate1(diffr_on, lobes.oren_nayar_pdf(wo, wi))
+    if "diffuse_t" in on:
+        f_dt = gate3(
+            difft_on,
+            lobes.diffuse_transmission_eval(
+                sp["base_color"], sp["diffuse_roughness"], wo, wi
+            ),
+        )
+        p_dt = gate1(difft_on, lobes.diffuse_transmission_pdf(wo, wi))
+    else:
+        f_dt, p_dt = z3, z1
+
+    if "diffuse_r" in on:
+        f_dr = gate3(
+            diffr_on,
+            lobes.oren_nayar_eval(
+                sp["base_color"], sp["diffuse_roughness"], wo, wi
+            ),
+        )
+        p_dr = gate1(diffr_on, lobes.oren_nayar_pdf(wo, wi))
+    else:
+        f_dr, p_dr = z3, z1
 
     f = jnp.stack([f_coat, f_metal, f_spec, f_trans, f_sheen, f_dt, f_dr], axis=-2)
     pdf = jnp.stack([p_coat, p_metal, p_spec, p_trans, p_sheen, p_dt, p_dr], axis=-1)
@@ -321,26 +381,51 @@ def sample(ctx, wo, u, v):
     sp = ctx["sp"]
     idx, pmf_sel = discrete_sample_cdf(ctx["pmf"], u)
 
-    # candidate directions from every lobe (masked-evaluated, then selected)
-    wi0, f0, p0 = lobes.microfacet_reflection_dielectric_sample(
-        ctx["eta"], ctx["coat_alpha"], wo, v
-    )
-    wi1, f1, p1 = lobes.microfacet_reflection_conductor_sample(
-        ctx["metal_n"], ctx["metal_k"], ctx["spec_alpha"], wo, v
-    )
-    wi2, f2, p2 = lobes.microfacet_reflection_dielectric_sample(
-        ctx["eta"], ctx["spec_alpha"], wo, v
-    )
-    wi3, f3, p3 = lobes.microfacet_transmission_sample(
-        ctx["ni"], ctx["nt"], ctx["spec_alpha"], wo, v
-    )
-    wi4, f4, p4 = lobes.sheen_sample(sp["sheen_roughness"], wo, v)
-    wi5, f5, p5 = lobes.diffuse_transmission_sample(
-        sp["base_color"], sp["diffuse_roughness"], wo, v
-    )
-    wi6, f6, p6 = lobes.oren_nayar_sample(
-        sp["base_color"], sp["diffuse_roughness"], wo, v
-    )
+    on = ctx["lobes_on"]
+    z3 = jnp.zeros(wo.shape, wo.dtype)
+    z1 = jnp.zeros(wo.shape[:-1], wo.dtype)
+
+    # candidate directions from every active lobe (masked-eval + select)
+    if "coat" in on:
+        wi0, f0, p0 = lobes.microfacet_reflection_dielectric_sample(
+            ctx["eta"], ctx["coat_alpha"], wo, v
+        )
+    else:
+        wi0, f0, p0 = z3, z3, z1
+    if "metal" in on:
+        wi1, f1, p1 = lobes.microfacet_reflection_conductor_sample(
+            ctx["metal_n"], ctx["metal_k"], ctx["spec_alpha"], wo, v
+        )
+    else:
+        wi1, f1, p1 = z3, z3, z1
+    if "specular" in on:
+        wi2, f2, p2 = lobes.microfacet_reflection_dielectric_sample(
+            ctx["eta"], ctx["spec_alpha"], wo, v
+        )
+    else:
+        wi2, f2, p2 = z3, z3, z1
+    if "transmission" in on:
+        wi3, f3, p3 = lobes.microfacet_transmission_sample(
+            ctx["ni"], ctx["nt"], ctx["spec_alpha"], wo, v
+        )
+    else:
+        wi3, f3, p3 = z3, z3, z1
+    if "sheen" in on:
+        wi4, f4, p4 = lobes.sheen_sample(sp["sheen_roughness"], wo, v)
+    else:
+        wi4, f4, p4 = z3, z3, z1
+    if "diffuse_t" in on:
+        wi5, f5, p5 = lobes.diffuse_transmission_sample(
+            sp["base_color"], sp["diffuse_roughness"], wo, v
+        )
+    else:
+        wi5, f5, p5 = z3, z3, z1
+    if "diffuse_r" in on:
+        wi6, f6, p6 = lobes.oren_nayar_sample(
+            sp["base_color"], sp["diffuse_roughness"], wo, v
+        )
+    else:
+        wi6, f6, p6 = z3, z3, z1
 
     wis = jnp.stack([wi0, wi1, wi2, wi3, wi4, wi5, wi6], axis=-2)  # [N,7,3]
     fs = jnp.stack([f0, f1, f2, f3, f4, f5, f6], axis=-2)

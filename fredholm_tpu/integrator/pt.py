@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..accel.pallas_dense import (
+    intersect_any_pallas,
+    intersect_closest_pallas,
+)
 from ..accel.traverse import (
     intersect_any,
     intersect_any_dense,
@@ -31,6 +35,7 @@ from ..accel.traverse import (
 )
 from ..bsdf import bsdf as bsdf_mod
 from ..camera import pixel_uv, sample_ray_thinlens
+from ..core.gather import gather_rows
 from ..core.vecmath import (
     cartesian_to_spherical,
     cross,
@@ -64,10 +69,12 @@ SKY_HOSEK = 2
 
 
 def trace_closest(dev, o, d, t_max):
-    """optixTrace RAY_TYPE_RADIANCE/LIGHT analog: statically picks the dense
-    all-triangles path for small scenes (fast on TPU: no gathers) or the
-    threaded-BVH traversal for large ones."""
+    """optixTrace RAY_TYPE_RADIANCE/LIGHT analog: statically picks the
+    Pallas fused dense kernel for small scenes (regular streaming, zero
+    HBM intermediates) or the threaded-BVH traversal for large ones."""
     if dev["use_dense"]:
+        if dev.get("use_pallas", True):
+            return intersect_closest_pallas(dev["tri_soa"], o, d, t_max)
         return intersect_closest_dense(dev["bvh"], o, d, t_max)
     return intersect_closest(dev["bvh"], o, d, t_max)
 
@@ -75,6 +82,8 @@ def trace_closest(dev, o, d, t_max):
 def trace_any(dev, o, d, t_max):
     """optixTrace RAY_TYPE_SHADOW analog (terminate on first hit)."""
     if dev["use_dense"]:
+        if dev.get("use_pallas", True):
+            return intersect_any_pallas(dev["tri_soa"], o, d, t_max)
         return intersect_any_dense(dev["bvh"], o, d, t_max)
     return intersect_any(dev["bvh"], o, d, t_max)
 
@@ -106,9 +115,10 @@ def eval_sky(params, v):
 def fill_surface_info(dev, prim, bary_u, bary_v, ray_d):
     """pt.cu:141-179 over a wavefront; prim: [N] int32 (clamped valid)."""
     p = jnp.clip(prim, 0, dev["n_faces"] - 1)
-    fv = dev["face_verts"][p]  # [N, 3, 3]
-    fn = dev["face_normals"][p]
-    fuv = dev["face_uvs"][p]
+    small = dev.get("use_dense", False)
+    fv = gather_rows(dev["face_verts"], p, small)  # [N, 3, 3]
+    fn = gather_rows(dev["face_normals"], p, small)
+    fuv = gather_rows(dev["face_uvs"], p, small)
 
     w0 = (1.0 - bary_u - bary_v)[..., None]
     w1 = bary_u[..., None]
@@ -132,7 +142,7 @@ def fill_surface_info(dev, prim, bary_u, bary_v, ray_d):
         "tangent": tangent,
         "bitangent": bitangent,
         "is_entering": is_entering,
-        "mat_id": dev["face_mat"][p],
+        "mat_id": gather_rows(dev["face_mat"], p, small),
     }
 
 
@@ -143,8 +153,10 @@ def fill_shading_params(dev, surf):
     uv = surf["texcoord"]
     tex = dev["textures"]
 
+    small = dev.get("use_dense", False)
+
     def g(name):
-        return m[name][mid]
+        return gather_rows(m[name], mid, small)
 
     sp = {}
     sp["diffuse"] = g("diffuse")
@@ -324,9 +336,10 @@ def sample_position_on_light(dev, u, v2):
         (u * n_lights).astype(jnp.int32), 0, max(n_lights - 1, 0)
     )
     face = dev["lights"][light_idx]
-    fv = dev["face_verts"][face]
-    fn = dev["face_normals"][face]
-    fuv = dev["face_uvs"][face]
+    small = dev.get("use_dense", False)
+    fv = gather_rows(dev["face_verts"], face, small)
+    fn = gather_rows(dev["face_normals"], face, small)
+    fuv = gather_rows(dev["face_uvs"], face, small)
 
     bary = sample_triangle(v2)
     w0 = (1.0 - bary[..., 0] - bary[..., 1])[..., None]
@@ -336,7 +349,7 @@ def sample_position_on_light(dev, u, v2):
     n = w0 * fn[:, 0] + w1 * fn[:, 1] + w2 * fn[:, 2]
     texcoord = w0 * fuv[:, 0] + w1 * fuv[:, 1] + w2 * fuv[:, 2]
     area = 0.5 * length(cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]))
-    le = get_emission(dev, dev["face_mat"][face], texcoord)
+    le = get_emission(dev, gather_rows(dev["face_mat"], face, small), texcoord)
     pdf = 1.0 / (n_lights * jnp.maximum(area, 1e-12))
     return p, n, le, pdf
 
@@ -488,7 +501,10 @@ def render_sample(dev: Dict, params: Dict, n_spp):
 
         # --- BSDF context
         wo = world_to_local(-state["direction"], tangent, normal, bitangent)
-        ctx = bsdf_mod.setup(wo, sp, surf["is_entering"])
+        ctx = bsdf_mod.setup(
+            wo, sp, surf["is_entering"],
+            dev.get("lobes_on", bsdf_mod.ALL_LOBES),
+        )
         shadow_origin = ray_origin_offset(surf["x"], surf["n_g"])
 
         # --- NEE: directional light (pt.cu:772-793)
@@ -579,10 +595,11 @@ def render_sample(dev: Dict, params: Dict, n_spp):
         )
         lhit = trace_closest(dev, lorigin, ldir, jnp.where(alive, RAY_TMAX, -1.0))
         lsurf_prim = jnp.clip(lhit["prim"], 0, dev["n_faces"] - 1)
-        l_mat = dev["face_mat"][lsurf_prim]
-        fv = dev["face_verts"][lsurf_prim]
-        fn = dev["face_normals"][lsurf_prim]
-        fuv = dev["face_uvs"][lsurf_prim]
+        small = dev.get("use_dense", False)
+        l_mat = gather_rows(dev["face_mat"], lsurf_prim, small)
+        fv = gather_rows(dev["face_verts"], lsurf_prim, small)
+        fn = gather_rows(dev["face_normals"], lsurf_prim, small)
+        fuv = gather_rows(dev["face_uvs"], lsurf_prim, small)
         lw0 = (1.0 - lhit["u"] - lhit["v"])[..., None]
         lw1 = lhit["u"][..., None]
         lw2 = lhit["v"][..., None]

@@ -42,6 +42,8 @@ class StaticConfig:
     any_normalmap: bool
     any_textures: bool
     use_dense: bool
+    use_pallas: bool
+    lobes_on: tuple
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -52,6 +54,8 @@ def _render_jit(arrays, dynamic, layers, sample_count, config: StaticConfig):
     dev["any_normalmap"] = config.any_normalmap
     dev["any_textures"] = config.any_textures
     dev["use_dense"] = config.use_dense
+    dev["use_pallas"] = config.use_pallas
+    dev["lobes_on"] = config.lobes_on
     params = dict(dynamic)
     params["width"] = config.width
     params["height"] = config.height
@@ -61,6 +65,35 @@ def _render_jit(arrays, dynamic, layers, sample_count, config: StaticConfig):
     return render_progressive(
         dev, params, layers, sample_count, config.n_samples
     )
+
+
+def _scene_lobes(scene) -> tuple:
+    """Which BSDF lobes any material in the scene can activate — lets jit
+    drop dead lobes' code entirely (see bsdf.setup)."""
+    mats = scene.materials or []
+    lobes = []
+    if any(m.coat > 0 or m.coat_texture_id >= 0 for m in mats):
+        lobes.append("coat")
+    if any(
+        m.metalness > 0
+        or m.metalness_texture_id >= 0
+        or m.metallic_roughness_texture_id >= 0
+        for m in mats
+    ):
+        lobes.append("metal")
+    if any(
+        m.specular > 0 and max(m.specular_color) > 0 for m in mats
+    ):
+        lobes.append("specular")
+    if any(m.transmission > 0 for m in mats):
+        lobes.append("transmission")
+    if any(m.sheen > 0 for m in mats):
+        lobes.append("sheen")
+    if any(m.subsurface > 0 and m.thin_walled > 0 for m in mats):
+        lobes.append("diffuse_t")
+    if any(m.diffuse > 0 for m in mats):
+        lobes.append("diffuse_r")
+    return tuple(lobes)
 
 
 class Renderer:
@@ -86,6 +119,9 @@ class Renderer:
         self.directional_light: Optional[DirectionalLight] = None
         self.seed = 42
         self.dense_threshold = 1024
+        # fused Pallas intersection kernels (TPU); jnp fallback for CPU tests
+        self.use_pallas = jax.default_backend() != "cpu"
+
 
         self.init_render_states()
 
@@ -226,6 +262,8 @@ class Renderer:
             # dense all-triangles intersection wins on TPU for small scenes
             # (regular streaming beats irregular BVH gathers)
             use_dense=self._dev["n_faces"] <= self.dense_threshold,
+            use_pallas=self.use_pallas,
+            lobes_on=_scene_lobes(scene),
         )
 
     def render(self, n_samples: int = 1, max_depth: int = 10) -> Dict:
