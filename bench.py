@@ -47,8 +47,10 @@ def main() -> None:
 
     r = Renderer(width=args.width, height=args.height)
     r.set_scene(cornell_box())
-    # camera just inside the box opening: every primary ray hits geometry
-    r.camera.origin = np.asarray([0.0, 1.0, 0.99], np.float32)
+    # the effective eye sits f~1 behind the origin (camera.cu:14-16), so
+    # origin z=0.6 puts the eye just inside the opening cone: every primary
+    # ray hits geometry
+    r.camera.origin = np.asarray([0.0, 1.0, 0.6], np.float32)
     r.camera._update_transform()
 
     # warmup / compile

@@ -62,10 +62,44 @@ class BVH:
         return int(self.bounds_min.shape[0])
 
 
-def build_bvh(tri_lo: np.ndarray, tri_hi: np.ndarray, leaf_size: int = LEAF_SIZE) -> BVH:
-    """Build from per-triangle AABBs [F, 3]."""
+def build_bvh(
+    tri_lo: np.ndarray,
+    tri_hi: np.ndarray,
+    leaf_size: int = LEAF_SIZE,
+    prefer_native: bool = True,
+) -> BVH:
+    """Build from per-triangle AABBs [F, 3].
+
+    Uses the C++ builder (native/bvh_builder.cpp via ctypes) when available;
+    the numpy path below is the portable fallback with identical output.
+    """
     f = tri_lo.shape[0]
     assert f > 0
+
+    if prefer_native and f >= 256:
+        from .native import build_bvh_native
+
+        out = build_bvh_native(
+            np.asarray(tri_lo, np.float32), np.asarray(tri_hi, np.float32),
+            leaf_size,
+        )
+        if out is not None:
+            (bmin, bmax, left, right, leaf_start, leaf_count, axis,
+             prim_order) = out
+            bvh = BVH(
+                bounds_min=bmin,
+                bounds_max=bmax,
+                left=left,
+                right=right,
+                leaf_start=leaf_start,
+                leaf_count=leaf_count,
+                axis=axis,
+                links=np.zeros((6, bmin.shape[0], 2), np.int32),
+                prim_order=prim_order,
+            )
+            _thread_links(bvh)
+            return bvh
+
     centroid = 0.5 * (tri_lo + tri_hi)
 
     order = np.arange(f, dtype=np.int64)
@@ -232,8 +266,12 @@ def refit_bvh(bvh: BVH, tri_lo: np.ndarray, tri_hi: np.ndarray) -> None:
     """Refit node bounds bottom-up for animated geometry (keeps topology).
 
     Host-side analog of rebuilding the IAS per animation frame
-    (renderer.h:614-640); see accel/refit.py for the on-device version.
+    (renderer.h:614-640).
     """
+    from .native import refit_bvh_native
+
+    if bvh.n_nodes >= 512 and refit_bvh_native(bvh, tri_lo, tri_hi):
+        return
     n = bvh.n_nodes
     # process nodes in reverse creation order: children always have larger ids
     lo = bvh.bounds_min

@@ -68,10 +68,7 @@ SKY_IBL = 1
 SKY_HOSEK = 2
 
 
-def trace_closest(dev, o, d, t_max):
-    """optixTrace RAY_TYPE_RADIANCE/LIGHT analog: statically picks the
-    Pallas fused dense kernel for small scenes (regular streaming, zero
-    HBM intermediates) or the threaded-BVH traversal for large ones."""
+def _trace_closest_raw(dev, o, d, t_max):
     if dev["use_dense"]:
         if dev.get("use_pallas", True):
             return intersect_closest_pallas(dev["tri_soa"], o, d, t_max)
@@ -79,13 +76,82 @@ def trace_closest(dev, o, d, t_max):
     return intersect_closest(dev["bvh"], o, d, t_max)
 
 
+def _hit_alpha(dev, prim, bu, bv):
+    """Opacity at a hit point: base-color texture alpha channel and/or the
+    dedicated alpha texture (anyhit programs, pt.cu:545-678)."""
+    p = jnp.clip(prim, 0, dev["n_faces"] - 1)
+    fuv = dev["face_uvs"][p]
+    w0 = (1.0 - bu - bv)[..., None]
+    uv = w0 * fuv[:, 0] + bu[..., None] * fuv[:, 1] + bv[..., None] * fuv[:, 2]
+    mat = dev["face_mat"][p]
+    m = dev["materials"]
+    alpha = jnp.ones(prim.shape, jnp.float32)
+    bc_id = m["base_color_texture_id"][mat]
+    bc = sample_texture(dev["textures"], bc_id, uv)
+    alpha = jnp.where(bc_id >= 0, jnp.minimum(alpha, bc[..., 3]), alpha)
+    a_id = m["alpha_texture_id"][mat]
+    at = sample_texture(dev["textures"], a_id, uv)
+    alpha = jnp.where(a_id >= 0, jnp.minimum(alpha, at[..., 0]), alpha)
+    return alpha
+
+
+_ALPHA_MAX_RETRACE = 8
+
+
+def trace_closest(dev, o, d, t_max):
+    """optixTrace RAY_TYPE_RADIANCE/LIGHT analog: statically picks the
+    Pallas fused dense kernel for small scenes (regular streaming, zero
+    HBM intermediates) or the threaded-BVH traversal for large ones.
+    Scenes with alpha-cutout materials re-trace through transparent hits
+    (the wavefront form of optixIgnoreIntersection, pt.cu:575)."""
+    hit = _trace_closest_raw(dev, o, d, t_max)
+    if not dev.get("has_alpha", False):
+        return hit
+
+    def body(state):
+        hit, origin, t_base, _ = state
+        alpha = _hit_alpha(dev, hit["prim"], hit["u"], hit["v"])
+        cut = hit["hit"] & (alpha < 0.5)
+        # advance past the transparent hit and re-trace
+        new_origin = origin + (hit["t"] + 1e-4)[..., None] * d
+        new_t_base = t_base + hit["t"] + 1e-4
+        nxt = _trace_closest_raw(
+            dev, new_origin, d, jnp.where(cut, t_max - new_t_base, -1.0)
+        )
+        merged = {
+            "t": jnp.where(cut, nxt["t"], hit["t"]),
+            "prim": jnp.where(cut, nxt["prim"], hit["prim"]),
+            "u": jnp.where(cut, nxt["u"], hit["u"]),
+            "v": jnp.where(cut, nxt["v"], hit["v"]),
+            "hit": jnp.where(cut, nxt["hit"], hit["hit"]),
+        }
+        return merged, jnp.where(cut[..., None], new_origin, origin), jnp.where(cut, new_t_base, t_base), cut
+
+    def cond(state):
+        return jnp.any(state[3])
+
+    state = (hit, o, jnp.zeros_like(hit["t"]), jnp.ones_like(hit["hit"]))
+    # first iteration always runs to evaluate alpha at the initial hit
+    state = body(state)
+    hit, origin, t_base, _ = jax.lax.while_loop(cond, body, state)
+    # report t relative to the ORIGINAL origin
+    hit = dict(hit)
+    hit["t"] = hit["t"] + t_base
+    return hit
+
+
 def trace_any(dev, o, d, t_max):
     """optixTrace RAY_TYPE_SHADOW analog (terminate on first hit)."""
-    if dev["use_dense"]:
-        if dev.get("use_pallas", True):
-            return intersect_any_pallas(dev["tri_soa"], o, d, t_max)
-        return intersect_any_dense(dev["bvh"], o, d, t_max)
-    return intersect_any(dev["bvh"], o, d, t_max)
+    if not dev.get("has_alpha", False):
+        if dev["use_dense"]:
+            if dev.get("use_pallas", True):
+                return intersect_any_pallas(dev["tri_soa"], o, d, t_max)
+            return intersect_any_dense(dev["bvh"], o, d, t_max)
+        return intersect_any(dev["bvh"], o, d, t_max)
+    # alpha scenes: a shadow ray is occluded by the first OPAQUE hit, so
+    # reuse the alpha-aware closest trace
+    hit = trace_closest(dev, o, d, t_max)
+    return hit["hit"]
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,9 @@ def render_progressive_sharded(
         "any_normalmap",
         "any_textures",
         "use_dense",
+        "use_pallas",
+        "lobes_on",
+        "has_alpha",
     )
     static_dev = {k: dev[k] for k in static_dev_keys if k in dev}
     dev = {k: v for k, v in dev.items() if k not in static_dev_keys}

@@ -44,6 +44,7 @@ class StaticConfig:
     use_dense: bool
     use_pallas: bool
     lobes_on: tuple
+    has_alpha: bool
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -56,6 +57,7 @@ def _render_jit(arrays, dynamic, layers, sample_count, config: StaticConfig):
     dev["use_dense"] = config.use_dense
     dev["use_pallas"] = config.use_pallas
     dev["lobes_on"] = config.lobes_on
+    dev["has_alpha"] = config.has_alpha
     params = dict(dynamic)
     params["width"] = config.width
     params["height"] = config.height
@@ -65,6 +67,21 @@ def _render_jit(arrays, dynamic, layers, sample_count, config: StaticConfig):
     return render_progressive(
         dev, params, layers, sample_count, config.n_samples
     )
+
+
+def _scene_has_alpha(scene) -> bool:
+    """True when any material can cut out via an alpha texture or a
+    translucent base-color texture (anyhit programs, pt.cu:545-678)."""
+    mats = scene.materials or []
+    if any(m.alpha_texture_id >= 0 for m in mats):
+        return True
+    for m in mats:
+        tid = m.base_color_texture_id
+        if tid >= 0 and tid < len(scene.textures):
+            data = scene.textures[tid].data
+            if data.shape[-1] == 4 and (data[..., 3] < 128).any():
+                return True
+    return False
 
 
 def _scene_lobes(scene) -> tuple:
@@ -264,6 +281,7 @@ class Renderer:
             use_dense=self._dev["n_faces"] <= self.dense_threshold,
             use_pallas=self.use_pallas,
             lobes_on=_scene_lobes(scene),
+            has_alpha=_scene_has_alpha(scene),
         )
 
     def render(self, n_samples: int = 1, max_depth: int = 10) -> Dict:
@@ -288,6 +306,34 @@ class Renderer:
     def wait_for_completion(self):
         """cudaDeviceSynchronize analog (renderer.h:736)."""
         jax.block_until_ready(self.layers)
+
+    # -- checkpoint / resume -------------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        """Persist the progressive accumulator state so rendering can resume
+        in a later process. The reference keeps this state only in device
+        memory (per-pixel sample_count + streaming averages,
+        renderer.h:650-655, pt.cu:480-501); we add durable snapshots."""
+        data = {f"layer_{k}": np.asarray(v) for k, v in self.layers.items()}
+        data["sample_count"] = np.asarray(self.sample_count)
+        data["width"] = np.asarray(self.width)
+        data["height"] = np.asarray(self.height)
+        data["camera_transform"] = np.asarray(self.camera.transform)
+        data["seed"] = np.asarray(self.seed)
+        np.savez_compressed(path, **data)
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        self.width = int(data["width"])
+        self.height = int(data["height"])
+        self.layers = {
+            k[len("layer_"):]: jnp.asarray(v)
+            for k, v in data.items()
+            if k.startswith("layer_")
+        }
+        self.sample_count = jnp.asarray(data["sample_count"])
+        self.camera.set_transform(data["camera_transform"])
+        self.seed = int(data["seed"])
 
     # -- output ------------------------------------------------------------
 

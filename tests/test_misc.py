@@ -1,0 +1,196 @@
+"""Native builder, one-hot gather, checkpoint/resume, camera, hosek, timer."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fredholm_tpu.accel import bvh as bvh_mod
+from fredholm_tpu.accel.native import native_available
+from fredholm_tpu.camera import Camera, CameraMovement, pixel_uv, sample_ray_pinhole
+from fredholm_tpu.core.gather import gather_rows, onehot_gather
+from fredholm_tpu.scene.procedural import uv_sphere
+from fredholm_tpu.sky.hosek import cook_state, sky_radiance
+from fredholm_tpu.utils.timer import StageTimer
+
+
+class TestNativeBVH:
+    def test_native_matches_numpy(self):
+        if not native_available():
+            pytest.skip("no C++ toolchain")
+        v, n, t, f = uv_sphere([0, 0, 0], 1.0, n_theta=24, n_phi=48)
+        v0 = v[f[:, 0]]
+        lo = np.minimum(np.minimum(v0, v[f[:, 1]]), v[f[:, 2]])
+        hi = np.maximum(np.maximum(v0, v[f[:, 1]]), v[f[:, 2]])
+        b_nat = bvh_mod.build_bvh(lo, hi, prefer_native=True)
+        b_py = bvh_mod.build_bvh(lo, hi, prefer_native=False)
+        # same structural quality (node count may differ slightly only if
+        # partition tie-breaking differs; bounds of root must be identical)
+        np.testing.assert_allclose(b_nat.bounds_min[0], b_py.bounds_min[0], atol=1e-6)
+        np.testing.assert_allclose(b_nat.bounds_max[0], b_py.bounds_max[0], atol=1e-6)
+        assert sorted(b_nat.prim_order.tolist()) == list(range(len(lo)))
+
+
+class TestOneHotGather:
+    def test_float_exact(self):
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(rng.normal(size=(37, 5)).astype(np.float32) * 100)
+        idx = jnp.asarray(rng.integers(0, 37, 256).astype(np.int32))
+        got = onehot_gather(table, idx)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(table)[np.asarray(idx)], rtol=1e-6
+        )
+
+    def test_int_roundtrip(self):
+        table = jnp.asarray(np.arange(-5, 45, dtype=np.int32).reshape(25, 2))
+        idx = jnp.asarray([0, 3, 24, 7], dtype=jnp.int32)
+        got = gather_rows(table, idx, use_onehot=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(table)[np.asarray(idx)])
+        assert got.dtype == jnp.int32
+
+    def test_multidim_table(self):
+        rng = np.random.default_rng(1)
+        table = jnp.asarray(rng.normal(size=(10, 3, 3)).astype(np.float32))
+        idx = jnp.asarray([2, 9, 0], dtype=jnp.int32)
+        got = gather_rows(table, idx, use_onehot=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(table)[np.asarray(idx)], rtol=1e-6
+        )
+
+    def test_large_table_falls_back(self):
+        table = jnp.zeros((5000, 2))
+        idx = jnp.asarray([17], dtype=jnp.int32)
+        got = gather_rows(table, idx, use_onehot=True)
+        assert got.shape == (1, 2)
+
+
+class TestCamera:
+    def test_move_forward(self):
+        c = Camera(origin=np.asarray([0, 0, 0], np.float32))
+        c.move(CameraMovement.FORWARD, 2.0)
+        np.testing.assert_allclose(c.origin, [0, 0, -2], atol=1e-5)
+
+    def test_look_around_updates_frame(self):
+        c = Camera(origin=np.zeros(3, np.float32))
+        c.look_around(900.0, 0.0)  # 90 degrees at speed 0.1
+        assert abs(c.forward[2]) < 0.05  # now looking along x
+
+    def test_pinhole_rays_through_center(self):
+        c = Camera(origin=np.asarray([0, 0, 0], np.float32), fov=np.pi / 2)
+        params = c.device_params()
+        px = jnp.asarray([32], jnp.uint32)
+        py = jnp.asarray([32], jnp.uint32)
+        uv = pixel_uv(px, py, jnp.asarray([[0.0, 0.0]]), 64, 64)
+        o, d, pdf = sample_ray_pinhole(params, uv)
+        # center pixel looks straight down -z
+        np.testing.assert_allclose(np.asarray(d)[0], [0, 0, -1], atol=0.05)
+
+
+class TestHosek:
+    def test_sky_brighter_near_sun(self):
+        st = cook_state(3.0, 0.3, 1.0)
+        near = sky_radiance(st, jnp.asarray([0.6]), jnp.asarray([0.05]))
+        far = sky_radiance(st, jnp.asarray([0.6]), jnp.asarray([2.0]))
+        assert float(near.sum()) > float(far.sum())
+
+    def test_all_positive_above_horizon(self):
+        st = cook_state(5.0, 0.5, 0.8)
+        thetas = jnp.linspace(0.0, np.pi, 64)
+        gammas = jnp.linspace(0.0, np.pi, 64)
+        r = np.asarray(sky_radiance(st, thetas, gammas))
+        assert (r >= 0.0).all()
+        assert np.isfinite(r).all()
+
+    def test_turbidity_clamped(self):
+        st = cook_state(99.0, 0.3, 0.5)  # clamps to 10
+        r = np.asarray(sky_radiance(st, jnp.asarray([0.5]), jnp.asarray([0.5])))
+        assert np.isfinite(r).all()
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from fredholm_tpu.renderer import Renderer
+        from fredholm_tpu.scene.procedural import cornell_box
+
+        r = Renderer(width=8, height=8)
+        r.set_scene(cornell_box())
+        r.render(n_samples=2, max_depth=2)
+        path = str(tmp_path / "ckpt.npz")
+        r.save_checkpoint(path)
+
+        r2 = Renderer(width=8, height=8)
+        r2.set_scene(cornell_box())
+        r2.load_checkpoint(path)
+        assert r2.n_accumulated == 2
+        np.testing.assert_allclose(
+            np.asarray(r2.layers["beauty"]), np.asarray(r.layers["beauty"])
+        )
+        # resuming continues identically to an uninterrupted run
+        r2.render(n_samples=2, max_depth=2)
+        r.render(n_samples=2, max_depth=2)
+        np.testing.assert_allclose(
+            np.asarray(r2.layers["beauty"]),
+            np.asarray(r.layers["beauty"]),
+            rtol=1e-5,
+        )
+
+
+class TestTimer:
+    def test_stage_accumulation(self):
+        t = StageTimer()
+        with t.stage("a"):
+            pass
+        with t.stage("a"):
+            pass
+        assert t.counts["a"] == 2
+        assert "a:" in t.report()
+
+
+class TestAlphaCutout:
+    def test_alpha_texture_makes_hole(self):
+        """A quad with a half-transparent alpha texture occludes only where
+        alpha >= 0.5 (anyhit analog, pt.cu:545-678)."""
+        from fredholm_tpu.renderer import Renderer
+        from fredholm_tpu.scene.procedural import _merge_mesh, _quad
+        from fredholm_tpu.scene.types import Material, Scene, TextureImage
+
+        # quad at z=0 covering x in [-1,1]; alpha texture: left half
+        # transparent, right half opaque
+        v, n, t, f = _quad([-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0])
+        alpha_img = np.full((4, 4, 4), 255, np.uint8)
+        alpha_img[:, :2, 0] = 0  # alpha texture reads channel 0 (.x)
+        # emissive green quad: opaque pixels read green, cut-out pixels
+        # read the red background — unambiguous
+        mat = Material(
+            base_color=(1, 1, 1),
+            specular=0.0,
+            alpha_texture_id=0,
+            emission=1.0,
+            emission_color=(0.0, 1.0, 0.0),
+        )
+        sc = Scene(
+            vertices=v,
+            normals=n,
+            texcoords=t,
+            indices=f,
+            material_ids=np.zeros((2,), np.int32),
+            instance_ids=np.zeros((2,), np.int32),
+            materials=[mat],
+            textures=[TextureImage(data=alpha_img, is_srgb=False)],
+            transforms=np.eye(4, dtype=np.float32)[None],
+            submesh_offsets=[0],
+            submesh_n_faces=[2],
+        )
+        r = Renderer(width=16, height=16)
+        r.set_scene(sc)
+        r.set_bg_color((1.0, 0.0, 0.0))  # red background shows through holes
+        r.camera.origin = np.asarray([0.0, 0.0, 2.0], np.float32)
+        r.camera._update_transform()
+        r.render(n_samples=4, max_depth=2)
+        img = r.get_layer("beauty")
+        row = img[8]
+        # some columns see the red background through the cutout...
+        assert any(px[0] > 0.9 and px[1] < 0.1 for px in row), row
+        # ...and some see the opaque (green emissive) part of the quad
+        assert any(px[1] > 0.9 and px[0] < 0.1 for px in row), row
