@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..accel.pallas_clustered import (
+    intersect_any_clustered,
+    intersect_closest_clustered,
+)
 from ..accel.pallas_dense import (
     intersect_any_pallas,
     intersect_closest_pallas,
@@ -73,6 +77,8 @@ def _trace_closest_raw(dev, o, d, t_max):
         if dev.get("use_pallas", True):
             return intersect_closest_pallas(dev["tri_soa"], o, d, t_max)
         return intersect_closest_dense(dev["bvh"], o, d, t_max)
+    if dev.get("use_clustered", False):
+        return intersect_closest_clustered(dev["clusters"], o, d, t_max)
     return intersect_closest(dev["bvh"], o, d, t_max)
 
 
@@ -147,6 +153,8 @@ def trace_any(dev, o, d, t_max):
             if dev.get("use_pallas", True):
                 return intersect_any_pallas(dev["tri_soa"], o, d, t_max)
             return intersect_any_dense(dev["bvh"], o, d, t_max)
+        if dev.get("use_clustered", False):
+            return intersect_any_clustered(dev["clusters"], o, d, t_max)
         return intersect_any(dev["bvh"], o, d, t_max)
     # alpha scenes: a shadow ray is occluded by the first OPAQUE hit, so
     # reuse the alpha-aware closest trace

@@ -45,6 +45,7 @@ class StaticConfig:
     use_pallas: bool
     lobes_on: tuple
     has_alpha: bool
+    use_clustered: bool
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -58,6 +59,7 @@ def _render_jit(arrays, dynamic, layers, sample_count, config: StaticConfig):
     dev["use_pallas"] = config.use_pallas
     dev["lobes_on"] = config.lobes_on
     dev["has_alpha"] = config.has_alpha
+    dev["use_clustered"] = config.use_clustered
     params = dict(dynamic)
     params["width"] = config.width
     params["height"] = config.height
@@ -282,6 +284,13 @@ class Renderer:
             use_pallas=self.use_pallas,
             lobes_on=_scene_lobes(scene),
             has_alpha=_scene_has_alpha(scene),
+            # medium/large scenes on TPU: predicated two-level Pallas sweep
+            # (SMEM cluster AABBs cap the cluster count)
+            use_clustered=(
+                self.use_pallas
+                and self._dev["n_faces"] > self.dense_threshold
+                and self._dev["clusters"]["counts"].shape[0] <= 4096
+            ),
         )
 
     def render(self, n_samples: int = 1, max_depth: int = 10) -> Dict:

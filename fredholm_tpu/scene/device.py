@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.bvh import build_bvh, refit_bvh
+from ..accel.cluster import extract_clusters
+from ..accel.pallas_clustered import prepare_clustered
 from ..accel.pallas_dense import prepare_tri_soa
 from ..accel.traverse import build_device_bvh
 from .texture import pack_textures
@@ -75,6 +77,7 @@ def build_device_scene(scene: Scene) -> Dict:
     dev = {
         "bvh": dev_bvh,
         "tri_soa": prepare_tri_soa(v0, e1, e2),
+        "clusters": prepare_clustered(extract_clusters(bvh, v0, e1, e2)),
         "face_verts": jnp.asarray(fd["verts"]),
         "face_normals": jnp.asarray(fd["normals"]),
         "face_uvs": jnp.asarray(fd["uvs"]),
@@ -108,6 +111,7 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
     new = dict(dev)
     new["bvh"] = build_device_bvh(bvh, v0, e1, e2)
     new["tri_soa"] = prepare_tri_soa(v0, e1, e2)
+    new["clusters"] = prepare_clustered(extract_clusters(bvh, v0, e1, e2))
     new["face_verts"] = jnp.asarray(fd["verts"])
     new["face_normals"] = jnp.asarray(fd["normals"])
     new["face_uvs"] = jnp.asarray(fd["uvs"])

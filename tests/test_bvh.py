@@ -169,3 +169,43 @@ class TestRefit:
         o = jnp.asarray([[10.0, 1.0, 0.0]])
         d = jnp.asarray([[0.0, 0.0, -1.0]])
         assert bool(traverse.intersect_closest(dev, o, d, 1e9)["hit"][0])
+
+
+class TestClusteredTraversal:
+    def test_clustered_matches_brute_force(self):
+        """Two-level Pallas sweep (interpreter on CPU) vs brute force."""
+        from fredholm_tpu.accel import pallas_clustered as pc
+        from fredholm_tpu.accel.cluster import extract_clusters
+
+        v, n, t, f = uv_sphere([0, 0, 0], 1.0, n_theta=32, n_phi=64)
+        v0 = v[f[:, 0]]
+        e1 = v[f[:, 1]] - v0
+        e2 = v[f[:, 2]] - v0
+        lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+        hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+        b = bvh_mod.build_bvh(lo, hi)
+        cl = extract_clusters(b, v0, e1, e2)
+        assert cl.n_clusters > 2  # actually multi-cluster
+        dev_c = pc.prepare_clustered(cl)
+
+        rng = np.random.default_rng(11)
+        o = rng.normal(size=(256, 3)).astype(np.float32)
+        o = 3.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+        d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+        got = pc.intersect_closest_clustered(
+            dev_c, jnp.asarray(o), jnp.asarray(d), 1e9
+        )
+        ref = traverse.brute_force_closest(
+            jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+            jnp.asarray(o), jnp.asarray(d), 1e9,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["hit"]), np.asarray(ref["hit"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["t"]), np.asarray(ref["t"]), rtol=1e-4
+        )
+        occ = pc.intersect_any_clustered(
+            dev_c, jnp.asarray(o), jnp.asarray(d), 1e9
+        )
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref["hit"]))
