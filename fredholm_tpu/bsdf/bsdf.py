@@ -47,7 +47,8 @@ ALL_LOBES = ("coat", "metal", "specular", "transmission", "sheen",
              "diffuse_t", "diffuse_r")
 
 
-def setup(wo, sp: Dict, is_entering, lobes_on=ALL_LOBES) -> Dict:
+def setup(wo, sp: Dict, is_entering, lobes_on=ALL_LOBES,
+          energy_conserving_coat: bool = False) -> Dict:
     """BSDF 'constructor' (bsdf.cu:11-127).
 
     `lobes_on` is a STATIC tuple naming the lobes any material in the scene
@@ -64,16 +65,6 @@ def setup(wo, sp: Dict, is_entering, lobes_on=ALL_LOBES) -> Dict:
     coat_lum = rgb_to_luminance(sp["coat_color"])
     spec_lum = rgb_to_luminance(sp["specular_color"])
     sheen_lum = rgb_to_luminance(sp["sheen_color"])
-
-    # NOTE: the reference computes the coat absorption color *before* the
-    # coat directional albedo is filled in (bsdf.cu:27-30 reads the
-    # zero-initialized member), so absorption = lerp(1, coat_color, coat).
-    # We reproduce that exactly for image parity.
-    coat_absorption = lerp(
-        jnp.ones_like(sp["coat_color"]),
-        sp["coat_color"],
-        sp["coat"][..., None],
-    )
 
     f0 = ((nt - ni) / (nt + ni)) ** 2
     zero = jnp.zeros_like(sp["coat"])
@@ -105,6 +96,20 @@ def setup(wo, sp: Dict, is_entering, lobes_on=ALL_LOBES) -> Dict:
         )
         if "sheen" in on
         else zero
+    )
+
+    # NOTE: the reference computes the coat absorption color *before* the
+    # coat directional albedo is filled in (bsdf.cu:27-30 reads the
+    # zero-initialized member), so absorption = lerp(1, coat_color, coat)
+    # and coated materials GAIN energy. Default reproduces that for image
+    # parity; energy_conserving_coat applies the intended attenuation.
+    absorb_albedo = coat_albedo if energy_conserving_coat else 0.0
+    coat_absorption = lerp(
+        jnp.ones_like(sp["coat_color"]),
+        sp["coat_color"] * (1.0 - absorb_albedo)[..., None]
+        if energy_conserving_coat
+        else sp["coat_color"],
+        sp["coat"][..., None],
     )
 
     # disable reflective lobes when evaluating from inside (bsdf.cu:56-62)

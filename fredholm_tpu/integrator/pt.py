@@ -62,7 +62,7 @@ from ..sampling.mappings import (
 from ..sampling.sampler import init_sampler_state, sample_1d, sample_2d
 from ..scene.texture import fetch_or_constant, sample_texture
 from ..sky.hosek import sky_radiance
-from ..sky.ibl import fetch_ibl
+from ..sky.ibl import fetch_ibl, ibl_pdf, sample_ibl
 
 SHADOW_RAY_EPS = 1e-3  # pt.cu:11
 RAY_TMAX = 1e9
@@ -603,17 +603,28 @@ def render_sample(dev: Dict, params: Dict, n_spp):
             le = jnp.asarray(params["directional_light"]["le"])
             radiance = radiance + jnp.where(_mask3(visible), w * le, 0.0)
 
-        # --- NEE: sky (cosine-sampled, pt.cu:796-857)
+        # --- NEE: sky (pt.cu:796-857). With an IBL and importance sampling
+        # enabled (our improvement over the reference's TODO at pt.cu:797),
+        # directions come from the luminance-weighted env distribution;
+        # otherwise cosine sampling as in the reference.
         u2, smp = sample_2d(smp)
-        wi_local = sample_cosine_weighted_hemisphere(u2)
-        sdir = local_to_world(wi_local, tangent, normal, bitangent)
+        use_ibl_is = params["sky_mode"] == SKY_IBL and params.get(
+            "use_ibl_is", False
+        )
+        if use_ibl_is:
+            sdir, pdf = sample_ibl(params["ibl_dist"], u2)
+            wi_local = world_to_local(sdir, tangent, normal, bitangent)
+            cos_wi = jnp.abs(wi_local[..., 1])
+        else:
+            wi_local = sample_cosine_weighted_hemisphere(u2)
+            sdir = local_to_world(wi_local, tangent, normal, bitangent)
+            cos_wi = jnp.abs(wi_local[..., 1])
+            pdf = cos_wi / jnp.pi
         occluded = trace_any(
             dev, shadow_origin, sdir, jnp.where(alive, RAY_TMAX, -1.0)
         )
         visible = alive & ~occluded
         f = bsdf_mod.eval(ctx, wo, wi_local)
-        cos_wi = jnp.abs(wi_local[..., 1])
-        pdf = cos_wi / jnp.pi
         pdf_bsdf = bsdf_mod.eval_pdf(ctx, wo, wi_local)
         mis_w = compute_mis_weight(pdf, pdf_bsdf)
         w = regularize_weight(
@@ -694,7 +705,10 @@ def render_sample(dev: Dict, params: Dict, n_spp):
         pdf_light_hit = (
             r2 / jnp.maximum(jnp.abs(dot(-ldir, l_n)), 1e-12) * pdf_area_hit
         )
-        pdf_light_miss = jnp.abs(wi_l[..., 1]) / jnp.pi
+        if use_ibl_is:
+            pdf_light_miss = ibl_pdf(params["ibl_dist"], ldir)
+        else:
+            pdf_light_miss = jnp.abs(wi_l[..., 1]) / jnp.pi
         pdf_light = jnp.where(hit_light, pdf_light_hit, pdf_light_miss)
 
         mis_w = compute_mis_weight(pdf_l, pdf_light)

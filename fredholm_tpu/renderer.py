@@ -46,6 +46,7 @@ class StaticConfig:
     lobes_on: tuple
     has_alpha: bool
     use_clustered: bool
+    use_ibl_is: bool
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -66,6 +67,7 @@ def _render_jit(arrays, dynamic, layers, sample_count, config: StaticConfig):
     params["max_depth"] = config.max_depth
     params["sky_mode"] = config.sky_mode
     params["has_directional_light"] = config.has_directional_light
+    params["use_ibl_is"] = config.use_ibl_is
     return render_progressive(
         dev, params, layers, sample_count, config.n_samples
     )
@@ -133,6 +135,9 @@ class Renderer:
         self.sky_mode = self.SKY_CONSTANT
         self.sky_intensity = 1.0
         self.ibl = None
+        self._ibl_dist = None
+        # luminance-weighted environment NEE (improvement over pt.cu:797)
+        self.ibl_importance_sampling = True
         self.hosek_state = None
         self.sun_direction = np.asarray([0.0, 1.0, 0.0], np.float32)
         self.directional_light: Optional[DirectionalLight] = None
@@ -198,13 +203,25 @@ class Renderer:
     def load_ibl(self, filepath: str):
         self.ibl = load_ibl(filepath)
         self.sky_mode = self.SKY_IBL
+        self._build_ibl_dist()
 
     def set_ibl(self, image: np.ndarray):
         self.ibl = make_ibl(image)
         self.sky_mode = self.SKY_IBL
+        self._build_ibl_dist()
+
+    def _build_ibl_dist(self):
+        from .sky.ibl import build_ibl_distribution
+
+        self._ibl_dist = (
+            build_ibl_distribution(self.ibl)
+            if self.ibl_importance_sampling
+            else None
+        )
 
     def clear_ibl(self):
         self.ibl = None
+        self._ibl_dist = None
         if self.sky_mode == self.SKY_IBL:
             self.sky_mode = self.SKY_CONSTANT
 
@@ -249,6 +266,8 @@ class Renderer:
         }
         if self.sky_mode == self.SKY_IBL:
             dyn["ibl"] = self.ibl
+            if self._ibl_dist is not None and self.ibl_importance_sampling:
+                dyn["ibl_dist"] = self._ibl_dist
         elif self.sky_mode == self.SKY_HOSEK:
             dyn["hosek"] = self.hosek_state
         if self.directional_light is not None:
@@ -290,6 +309,11 @@ class Renderer:
                 self.use_pallas
                 and self._dev["n_faces"] > self.dense_threshold
                 and self._dev["clusters"]["counts"].shape[0] <= 4096
+            ),
+            use_ibl_is=(
+                self.sky_mode == self.SKY_IBL
+                and self.ibl_importance_sampling
+                and self._ibl_dist is not None
             ),
         )
 

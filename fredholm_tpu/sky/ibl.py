@@ -109,3 +109,77 @@ def _read_radiance_hdr(path: str) -> np.ndarray:
     rgb = rgbe[..., :3] * exp[..., None]
     rgb[data[..., 3] == 0] = 0.0
     return rgb.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# IBL importance sampling — an improvement over the reference, which leaves
+# it as a TODO (pt.cu:797) and cosine-samples the environment instead.
+
+
+def build_ibl_distribution(ibl: Dict) -> Dict:
+    """Luminance-weighted equirect distribution for NEE.
+
+    Returns row CDF [H], per-row column CDFs [H, W] and the solid-angle pdf
+    map [H, W] (already includes the sin-theta metric).
+    """
+    import numpy as np
+
+    img = np.asarray(ibl["image"], np.float32)
+    h, w = img.shape[:2]
+    lum = img @ np.asarray([0.2126729, 0.7151522, 0.0721750], np.float32)
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    weights = lum * np.sin(theta)[:, None] + 1e-12
+
+    row_w = weights.sum(axis=1)
+    row_cdf = np.cumsum(row_w)
+    total = row_cdf[-1]
+    row_cdf = row_cdf / total
+
+    col_cdf = np.cumsum(weights, axis=1)
+    col_cdf = col_cdf / col_cdf[:, -1:]
+
+    # p(pixel) -> solid-angle pdf: each texel covers
+    # (2pi/w) * (pi/h) * sin(theta) steradians
+    p_pixel = weights / total
+    texel_sr = (2.0 * np.pi / w) * (np.pi / h) * np.sin(theta)[:, None]
+    pdf_map = p_pixel / np.maximum(texel_sr, 1e-12)
+
+    return {
+        "row_cdf": jnp.asarray(row_cdf),
+        "col_cdf": jnp.asarray(col_cdf),
+        "pdf_map": jnp.asarray(pdf_map.astype(np.float32)),
+    }
+
+
+def sample_ibl(dist: Dict, u2):
+    """Inverse-CDF sample of the environment; u2 [N,2] ->
+    (direction [N,3], pdf [N] in solid angle)."""
+    row_cdf = dist["row_cdf"]
+    col_cdf = dist["col_cdf"]
+    h = row_cdf.shape[0]
+    w = col_cdf.shape[1]
+
+    row = jnp.searchsorted(row_cdf, u2[..., 0])
+    row = jnp.clip(row, 0, h - 1)
+    # vectorized per-lane searchsorted over each lane's row CDF
+    cdf_rows = col_cdf[row]  # [N, W]
+    col = jnp.sum((cdf_rows < u2[..., 1:2]).astype(jnp.int32), axis=-1)
+    col = jnp.clip(col, 0, w - 1)
+
+    theta = (row.astype(jnp.float32) + 0.5) / h * jnp.pi
+    phi = (col.astype(jnp.float32) + 0.5) / w * 2.0 * jnp.pi
+    from ..core.vecmath import spherical_to_cartesian
+
+    direction = spherical_to_cartesian(theta, phi)
+    pdf = dist["pdf_map"][row, col]
+    return direction, pdf
+
+
+def ibl_pdf(dist: Dict, v):
+    """Solid-angle pdf of direction(s) v under the same distribution (for
+    the MIS weight of BSDF-sampled rays that hit the environment)."""
+    theta, phi = cartesian_to_spherical(v)
+    h, w = dist["pdf_map"].shape
+    row = jnp.clip((theta / jnp.pi * h).astype(jnp.int32), 0, h - 1)
+    col = jnp.clip((phi / (2.0 * jnp.pi) * w).astype(jnp.int32), 0, w - 1)
+    return dist["pdf_map"][row, col]
