@@ -102,3 +102,81 @@ def render_progressive_sharded(
         check_vma=False,
     )
     return jax.jit(fn)(layers, sample_count, dev, dynamic_params)
+
+
+def render_spp_sharded(
+    mesh: Mesh,
+    dev: Dict,
+    static_params: Dict,
+    dynamic_params: Dict,
+    n_per_device: int,
+    axis: str = "tiles",
+):
+    """Sample-parallel rendering: every device renders the FULL frame but a
+    disjoint slice of the progressive sample stream (device i takes samples
+    [i*n, (i+1)*n) — the per-pixel sample_count seeds the samplers, so the
+    union equals a single-device run of D*n samples). One weighted `psum`
+    merges the accumulators (SURVEY.md section 2: "spp-parallel
+    accumulation... psum of radiance across devices").
+
+    Returns (layers, sample_count) for D * n_per_device samples, replicated.
+    """
+    from ..integrator.pt import make_layers
+
+    n_dev = mesh.shape[axis]
+    width = static_params["width"]
+    height = static_params["height"]
+
+    static_dev_keys = (
+        "n_lights",
+        "any_heightmap",
+        "any_normalmap",
+        "any_textures",
+        "use_dense",
+        "use_pallas",
+        "lobes_on",
+        "has_alpha",
+        "use_clustered",
+    )
+    static_dev = {k: dev[k] for k in static_dev_keys if k in dev}
+    dev = {k: v for k, v in dev.items() if k not in static_dev_keys}
+
+    def shard_fn(dev_r, dyn_r):
+        idx = jax.lax.axis_index(axis)
+        dev_r = {**dev_r, **static_dev}
+        p = dict(dyn_r)
+        p.update(static_params)
+        layers = make_layers(width * height)
+        count = jnp.full(
+            (width * height,), idx * n_per_device, jnp.uint32
+        )
+        layers, count = render_progressive(
+            dev_r, p, layers, count, n_per_device
+        )
+        # the streaming average ran with an initial count of idx*n (for
+        # sampler decorrelation) over zero-initialized layers, so each
+        # device holds sum(samples) / (idx*n + n); rescale to the sample
+        # sum, psum, and divide by the global total
+        scale = (idx * n_per_device + n_per_device).astype(jnp.float32)
+        total_n = float(n_dev * n_per_device)
+        merged = {
+            k: jax.lax.psum(v * scale, axis) / total_n
+            for k, v in layers.items()
+            if k != "n_path_vertices"
+        }
+        merged["n_path_vertices"] = jax.lax.psum(
+            layers["n_path_vertices"], axis
+        )
+        total = jnp.full(
+            (width * height,), n_dev * n_per_device, jnp.uint32
+        )
+        return merged, total
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(dev, dynamic_params)

@@ -91,3 +91,42 @@ class TestSharding:
         mesh = make_mesh(4)
         layers, count = _sharded_render(r, mesh, n_samples=1)
         assert np.isfinite(np.asarray(layers["beauty"])).all()
+
+
+class TestSppSharding:
+    def test_spp_sharded_equals_sequential(self):
+        from fredholm_tpu.parallel.sharding import render_spp_sharded
+
+        r = _setup()
+        mesh = make_mesh(4)
+        cfg = r._config(1, 2)
+        dev = dict(r._arrays())
+        dev["n_lights"] = cfg.n_lights
+        dev["any_heightmap"] = cfg.any_heightmap
+        dev["any_normalmap"] = cfg.any_normalmap
+        dev["any_textures"] = cfg.any_textures
+        dev["use_dense"] = cfg.use_dense
+        dev["use_pallas"] = False
+        dev["use_clustered"] = False
+        dev["lobes_on"] = cfg.lobes_on
+        static_params = {
+            "width": r.width,
+            "height": r.height,
+            "max_depth": 2,
+            "sky_mode": r.sky_mode,
+            "has_directional_light": False,
+        }
+        layers, count = render_spp_sharded(
+            mesh, dev, static_params, r._dynamic_params(), n_per_device=2
+        )
+        # sequential single-device reference: 8 samples
+        r2 = _setup()
+        r2.use_pallas = False
+        r2.render(n_samples=8, max_depth=2)
+        np.testing.assert_allclose(
+            np.asarray(layers["beauty"]),
+            np.asarray(r2.layers["beauty"]),
+            rtol=1e-4,
+            atol=1e-6,
+        )
+        assert int(np.asarray(count)[0]) == 8
