@@ -90,18 +90,16 @@ def _mt_one(tri, s, ox, oy, oz, dx, dy, dz):
     return t, u, v, valid
 
 
-def _closest_kernel(n_tris: int,
-                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                    *rest):
+def _closest_kernel(n_tris: int, o_ref, d_ref, tmax_ref, *rest):
     tri = dict(zip(_TRI_KEYS, rest[:9]))
     t_out, prim_out, u_out, v_out = rest[9:13]
 
-    ox = ox_ref[:]  # [8, 128]
-    oy = oy_ref[:]
-    oz = oz_ref[:]
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
+    ox = o_ref[0]  # [SUBLANES, 128]
+    oy = o_ref[1]
+    oz = o_ref[2]
+    dx = d_ref[0]
+    dy = d_ref[1]
+    dz = d_ref[2]
 
     best_t = tmax_ref[:]
     best_prim = jnp.full(best_t.shape, -1.0, jnp.float32)
@@ -127,18 +125,16 @@ def _closest_kernel(n_tris: int,
     v_out[:] = best_v
 
 
-def _any_kernel(n_tris: int,
-                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                *rest):
+def _any_kernel(n_tris: int, o_ref, d_ref, tmax_ref, *rest):
     tri = dict(zip(_TRI_KEYS, rest[:9]))
     occ_out = rest[9]
 
-    ox = ox_ref[:]
-    oy = oy_ref[:]
-    oz = oz_ref[:]
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
+    ox = o_ref[0]
+    oy = o_ref[1]
+    oz = o_ref[2]
+    dx = d_ref[0]
+    dy = d_ref[1]
+    dz = d_ref[2]
     tlim = tmax_ref[:]
 
     # NOTE: bool [8,128] carries crash the mosaic scf lowering; carry f32
@@ -153,16 +149,31 @@ def _any_kernel(n_tris: int,
 
 
 def _ray_tiles(o, d, t_max, n_pad):
+    """Pack rays as [3, rows, 128] transposes + tmax [rows, 128].
+
+    Kernel-launch overhead dominates on this backend (~1 ms each), so the
+    wrapper must emit as few ops as possible: one transpose per vector
+    (padding only when n is not tile-aligned) instead of seven
+    strided-slice/pad kernels.
+    """
     n = o.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    tiles = []
-    for arr in (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_max):
-        a = jnp.zeros((n_pad,), jnp.float32).at[:n].set(arr)
-        tiles.append(a.reshape(-1, LANES))
-    return tiles
+    if n != n_pad:
+        o = jnp.concatenate([o, jnp.zeros((n_pad - n, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.zeros((n_pad - n, 3), d.dtype)])
+        t_max = jnp.concatenate(
+            [t_max, jnp.zeros((n_pad - n,), t_max.dtype)]
+        )
+    rows = n_pad // LANES
+    o_t = o.T.reshape(3, rows, LANES)
+    d_t = d.T.reshape(3, rows, LANES)
+    return o_t, d_t, t_max.reshape(rows, LANES)
 
 
 def _specs(n_pad: int, f: int):
+    vec_spec = pl.BlockSpec(
+        (3, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
     ray_spec = pl.BlockSpec(
         (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -170,14 +181,14 @@ def _specs(n_pad: int, f: int):
         (1, f), lambda i: (0, 0), memory_space=pltpu.SMEM
     )
     grid = (n_pad // RAY_TILE,)
-    return grid, ray_spec, tri_spec
+    return grid, vec_spec, ray_spec, tri_spec
 
 
 @functools.partial(jax.jit, static_argnames=("n_tris",))
-def _closest_call(tiles, tris, n_tris: int):
-    n_pad = tiles[0].shape[0] * LANES
+def _closest_call(o_t, d_t, tmax_t, tris, n_tris: int):
+    n_pad = o_t.shape[1] * LANES
     f = tris[0].shape[1]
-    grid, ray_spec, tri_spec = _specs(n_pad, f)
+    grid, vec_spec, ray_spec, tri_spec = _specs(n_pad, f)
     rows = n_pad // LANES
     out_shapes = [
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -189,36 +200,36 @@ def _closest_call(tiles, tris, n_tris: int):
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[ray_spec] * 7 + [tri_spec] * 9,
+        in_specs=[vec_spec, vec_spec, ray_spec] + [tri_spec] * 9,
         out_specs=[ray_spec] * 4,
         out_shape=out_shapes,
-    )(*tiles, *tris)
+    )(o_t, d_t, tmax_t, *tris)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tris",))
-def _any_call(tiles, tris, n_tris: int):
-    n_pad = tiles[0].shape[0] * LANES
+def _any_call(o_t, d_t, tmax_t, tris, n_tris: int):
+    n_pad = o_t.shape[1] * LANES
     f = tris[0].shape[1]
-    grid, ray_spec, tri_spec = _specs(n_pad, f)
+    grid, vec_spec, ray_spec, tri_spec = _specs(n_pad, f)
     rows = n_pad // LANES
     kernel = functools.partial(_any_kernel, n_tris)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[ray_spec] * 7 + [tri_spec] * 9,
+        in_specs=[vec_spec, vec_spec, ray_spec] + [tri_spec] * 9,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.bool_),
-    )(*tiles, *tris)
+    )(o_t, d_t, tmax_t, *tris)
 
 
 def intersect_closest_pallas(tris: Dict, o, d, t_max):
     """Closest hit via the fused kernel. tris: prepare_tri_soa output."""
     n = o.shape[0]
     n_pad = -(-n // RAY_TILE) * RAY_TILE
-    tiles = _ray_tiles(o, d, t_max, n_pad)
+    o_t, d_t, tmax_t = _ray_tiles(o, d, t_max, n_pad)
     tri_list = [tris[k] for k in _TRI_KEYS]
     n_tris = tri_list[0].shape[1]  # static
-    t, prim, u, v = _closest_call(tiles, tri_list, n_tris)
+    t, prim, u, v = _closest_call(o_t, d_t, tmax_t, tri_list, n_tris)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -235,7 +246,7 @@ def intersect_closest_pallas(tris: Dict, o, d, t_max):
 def intersect_any_pallas(tris: Dict, o, d, t_max):
     n = o.shape[0]
     n_pad = -(-n // RAY_TILE) * RAY_TILE
-    tiles = _ray_tiles(o, d, t_max, n_pad)
+    o_t, d_t, tmax_t = _ray_tiles(o, d, t_max, n_pad)
     tri_list = [tris[k] for k in _TRI_KEYS]
-    occ = _any_call(tiles, tri_list, tri_list[0].shape[1])
+    occ = _any_call(o_t, d_t, tmax_t, tri_list, tri_list[0].shape[1])
     return occ.reshape(-1)[:n]

@@ -74,6 +74,18 @@ def build_device_scene(scene: Scene) -> Dict:
 
     lights = scene.emissive_faces().astype(np.int32)
 
+    # one concatenated per-face attribute table: a single one-hot matmul
+    # gather fetches verts(9) + normals(9) + uvs(6) + mat(1) at once
+    face_flat = np.concatenate(
+        [
+            fd["verts"].reshape(-1, 9),
+            fd["normals"].reshape(-1, 9),
+            fd["uvs"].reshape(-1, 6),
+            mat_ids[:, None].astype(np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+
     dev = {
         "bvh": dev_bvh,
         "tri_soa": prepare_tri_soa(v0, e1, e2),
@@ -81,6 +93,7 @@ def build_device_scene(scene: Scene) -> Dict:
         "face_verts": jnp.asarray(fd["verts"]),
         "face_normals": jnp.asarray(fd["normals"]),
         "face_uvs": jnp.asarray(fd["uvs"]),
+        "face_flat": jnp.asarray(face_flat),
         "face_mat": jnp.asarray(mat_ids),
         "materials": {k: jnp.asarray(v) for k, v in mats.items()},
         "textures": pack_textures(scene.textures),
@@ -115,4 +128,19 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
     new["face_verts"] = jnp.asarray(fd["verts"])
     new["face_normals"] = jnp.asarray(fd["normals"])
     new["face_uvs"] = jnp.asarray(fd["uvs"])
+    host_scene = host["scene"]
+    mat_ids = np.clip(
+        host_scene.material_ids, 0, max(len(host_scene.materials), 1) - 1
+    ).astype(np.int32)
+    new["face_flat"] = jnp.asarray(
+        np.concatenate(
+            [
+                fd["verts"].reshape(-1, 9),
+                fd["normals"].reshape(-1, 9),
+                fd["uvs"].reshape(-1, 6),
+                mat_ids[:, None].astype(np.float32),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
     return new
