@@ -581,16 +581,65 @@ def render_sample(dev: Dict, params: Dict, n_spp):
         )
         shadow_origin = ray_origin_offset(surf["x"], surf["n_g"])
 
-        # --- NEE: directional light (pt.cu:772-793)
+        # --- NEE (pt.cu:767-890): directional (optional), sky, area.
+        # All shadow rays share one batched any-hit trace: kernel-launch
+        # overhead dominates this backend, so k traces become one over k*N
+        # rays. Sample draws stay in the reference's exact order.
+        nee_dirs = []
+        nee_tmax = []
+
         if params["has_directional_light"]:
             u2, smp = sample_2d(smp)
             p_sun = sample_position_on_directional_light(params, u2)
-            sdir = normalize(p_sun - shadow_origin)
-            occluded = trace_any(
-                dev, shadow_origin, sdir, jnp.where(alive, RAY_TMAX, -1.0)
-            )
+            sdir_dl = normalize(p_sun - shadow_origin)
+            nee_dirs.append(sdir_dl)
+            nee_tmax.append(jnp.where(alive, RAY_TMAX, -1.0))
+
+        # sky: importance-sampled when an IBL distribution is present (our
+        # improvement over the reference's TODO at pt.cu:797), else cosine
+        u2, smp = sample_2d(smp)
+        use_ibl_is = params["sky_mode"] == SKY_IBL and params.get(
+            "use_ibl_is", False
+        )
+        if use_ibl_is:
+            sdir_sky, pdf_sky = sample_ibl(params["ibl_dist"], u2)
+            wi_sky = world_to_local(sdir_sky, tangent, normal, bitangent)
+            cos_sky = jnp.abs(wi_sky[..., 1])
+        else:
+            wi_sky = sample_cosine_weighted_hemisphere(u2)
+            sdir_sky = local_to_world(wi_sky, tangent, normal, bitangent)
+            cos_sky = jnp.abs(wi_sky[..., 1])
+            pdf_sky = cos_sky / jnp.pi
+        nee_dirs.append(sdir_sky)
+        nee_tmax.append(jnp.where(alive, RAY_TMAX, -1.0))
+
+        if dev["n_lights"] > 0:
+            u1, smp = sample_1d(smp)
+            u2, smp = sample_2d(smp)
+            p_l, n_l, le_l, pdf_area = sample_position_on_light(dev, u1, u2)
+            to_l = p_l - shadow_origin
+            r = length(to_l)
+            sdir_area = to_l / jnp.maximum(r, 1e-12)[..., None]
+            nee_dirs.append(sdir_area)
+            nee_tmax.append(jnp.where(alive, r - SHADOW_RAY_EPS, -1.0))
+
+        k = len(nee_dirs)
+        n_rays = shadow_origin.shape[0]
+        occ_all = trace_any(
+            dev,
+            jnp.concatenate([shadow_origin] * k),
+            jnp.concatenate(nee_dirs),
+            jnp.concatenate(nee_tmax),
+        )
+        occ_parts = [
+            occ_all[i * n_rays : (i + 1) * n_rays] for i in range(k)
+        ]
+        part = iter(occ_parts)
+
+        if params["has_directional_light"]:
+            occluded = next(part)
             visible = alive & ~occluded
-            wi = world_to_local(sdir, tangent, normal, bitangent)
+            wi = world_to_local(sdir_dl, tangent, normal, bitangent)
             f = bsdf_mod.eval(ctx, wo, wi)
             pdf = 1.0
             pdf_bsdf = bsdf_mod.eval_pdf(ctx, wo, wi)
@@ -603,59 +652,33 @@ def render_sample(dev: Dict, params: Dict, n_spp):
             le = jnp.asarray(params["directional_light"]["le"])
             radiance = radiance + jnp.where(_mask3(visible), w * le, 0.0)
 
-        # --- NEE: sky (pt.cu:796-857). With an IBL and importance sampling
-        # enabled (our improvement over the reference's TODO at pt.cu:797),
-        # directions come from the luminance-weighted env distribution;
-        # otherwise cosine sampling as in the reference.
-        u2, smp = sample_2d(smp)
-        use_ibl_is = params["sky_mode"] == SKY_IBL and params.get(
-            "use_ibl_is", False
-        )
-        if use_ibl_is:
-            sdir, pdf = sample_ibl(params["ibl_dist"], u2)
-            wi_local = world_to_local(sdir, tangent, normal, bitangent)
-            cos_wi = jnp.abs(wi_local[..., 1])
-        else:
-            wi_local = sample_cosine_weighted_hemisphere(u2)
-            sdir = local_to_world(wi_local, tangent, normal, bitangent)
-            cos_wi = jnp.abs(wi_local[..., 1])
-            pdf = cos_wi / jnp.pi
-        occluded = trace_any(
-            dev, shadow_origin, sdir, jnp.where(alive, RAY_TMAX, -1.0)
-        )
+        occluded = next(part)
         visible = alive & ~occluded
-        f = bsdf_mod.eval(ctx, wo, wi_local)
-        pdf_bsdf = bsdf_mod.eval_pdf(ctx, wo, wi_local)
-        mis_w = compute_mis_weight(pdf, pdf_bsdf)
+        f = bsdf_mod.eval(ctx, wo, wi_sky)
+        pdf_bsdf = bsdf_mod.eval_pdf(ctx, wo, wi_sky)
+        mis_w = compute_mis_weight(pdf_sky, pdf_bsdf)
         w = regularize_weight(
             throughput
-            * jnp.where(pdf > 0.0, mis_w * cos_wi / jnp.maximum(pdf, 1e-12), 0.0)[
-                ..., None
-            ]
+            * jnp.where(
+                pdf_sky > 0.0,
+                mis_w * cos_sky / jnp.maximum(pdf_sky, 1e-12),
+                0.0,
+            )[..., None]
             * f
         )
-        sky_le_nee = eval_sky(params, sdir)
+        sky_le_nee = eval_sky(params, sdir_sky)
         radiance = radiance + jnp.where(_mask3(visible), w * sky_le_nee, 0.0)
 
-        # --- NEE: area lights (pt.cu:860-889)
         if dev["n_lights"] > 0:
-            u1, smp = sample_1d(smp)
-            u2, smp = sample_2d(smp)
-            p_l, n_l, le_l, pdf_area = sample_position_on_light(dev, u1, u2)
-            to_l = p_l - shadow_origin
-            r = length(to_l)
-            sdir = to_l / jnp.maximum(r, 1e-12)[..., None]
-            occluded = trace_any(
-                dev, shadow_origin, sdir, jnp.where(alive, r - SHADOW_RAY_EPS, -1.0)
-            )
-            front = dot(-sdir, n_l) > 0.0
+            occluded = next(part)
+            front = dot(-sdir_area, n_l) > 0.0
             visible = alive & ~occluded & front
-            wi = world_to_local(sdir, tangent, normal, bitangent)
+            wi = world_to_local(sdir_area, tangent, normal, bitangent)
             f = bsdf_mod.eval(ctx, wo, wi)
             pdf = (
                 r
                 * r
-                / jnp.maximum(jnp.abs(dot(-sdir, n_l)), 1e-12)
+                / jnp.maximum(jnp.abs(dot(-sdir_area, n_l)), 1e-12)
                 * pdf_area
             )
             pdf_bsdf = bsdf_mod.eval_pdf(ctx, wo, wi)
