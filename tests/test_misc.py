@@ -194,3 +194,28 @@ class TestAlphaCutout:
         assert any(px[0] > 0.9 and px[1] < 0.1 for px in row), row
         # ...and some see the opaque (green emissive) part of the quad
         assert any(px[1] > 0.9 and px[0] < 0.1 for px in row), row
+
+
+class TestCLIArgs:
+    def test_render_cli_parser(self):
+        from fredholm_tpu.apps.render_cli import build_arg_parser
+
+        ap = build_arg_parser()
+        args = ap.parse_args(
+            [
+                "--scene", "x.obj", "--width", "320", "--height", "180",
+                "--spp", "4", "--animation", "--fps", "12",
+                "--sky", "hosek", "--bloom", "--aov", "denoised",
+            ]
+        )
+        assert args.width == 320 and args.animation and args.bloom
+        assert args.sky == "hosek" and args.aov == "denoised"
+
+    def test_viewer_preview_renders_ansi(self):
+        import numpy as np
+
+        from fredholm_tpu.apps.viewer import terminal_preview
+
+        img = np.random.default_rng(0).uniform(size=(8, 8, 3))
+        s = terminal_preview(img, max_cols=8)
+        assert "\x1b[38;2;" in s and s.endswith("\x1b[0m")
