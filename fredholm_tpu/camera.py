@@ -60,7 +60,11 @@ class Camera:
         default_factory=lambda: np.zeros(3, np.float32)
     )
     fov: float = 0.5 * math.pi
-    f_number: float = 8.0
+    # NOTE: the reference Camera ctor defaults F=8 (camera.h:40) but every
+    # app overrides it (GUI default 100, controller.h:95; rtcamp8 uses 100,
+    # rtcamp8.cpp:131) — F=8 at the default focus distance defocuses
+    # everything; use the apps' default
+    f_number: float = 100.0
     focus: float = 10000.0
     movement_speed: float = 1.0
     look_around_speed: float = 0.1
