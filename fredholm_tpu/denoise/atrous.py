@@ -87,13 +87,37 @@ def atrous_denoise(
     return result
 
 
+def _bilinear_upscale2x(img):
+    """2x bilinear upsample of [H, W, C]."""
+    h, w, c = img.shape
+    ys = (jnp.arange(2 * h) + 0.5) / 2.0 - 0.5
+    xs = (jnp.arange(2 * w) + 0.5) / 2.0 - 0.5
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = jnp.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    cc = img[y1][:, x0]
+    d = img[y1][:, x1]
+    return (
+        (1 - fy) * ((1 - fx) * a + fx * b) + fy * ((1 - fx) * cc + fx * d)
+    )
+
+
 class Denoiser:
-    """API-compatible analog of fredholm::Denoiser (denoiser.h:14-146)."""
+    """API-compatible analog of fredholm::Denoiser (denoiser.h:14-146).
+
+    `upscale=True` mirrors the OptiX 2x-upscale denoiser model
+    (denoiser.h:42-48): output is 2*width x 2*height (bilinear upsample
+    followed by the guided A-Trous pass)."""
 
     def __init__(self, width: int, height: int, upscale: bool = False):
         self.width = width
         self.height = height
-        self.upscale = upscale  # the 2x-upscale OptiX model has no analog
+        self.upscale = upscale
 
     def denoise(self, beauty, normal=None, albedo=None, position=None):
         img = jnp.asarray(beauty).reshape(self.height, self.width, -1)[..., :3]
@@ -101,8 +125,11 @@ class Denoiser:
         def guide(x):
             if x is None:
                 return None
-            return jnp.asarray(x).reshape(self.height, self.width, -1)[..., :3]
+            g = jnp.asarray(x).reshape(self.height, self.width, -1)[..., :3]
+            return _bilinear_upscale2x(g) if self.upscale else g
 
+        if self.upscale:
+            img = _bilinear_upscale2x(img)
         out = atrous_denoise(
             img, guide(normal), guide(albedo), guide(position)
         )

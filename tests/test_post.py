@@ -105,3 +105,13 @@ class TestDenoiser:
         out = np.asarray(d.denoise(jnp.asarray(beauty)))
         assert out.shape == (256, 3)
         assert np.isfinite(out).all()
+
+
+class TestDenoiserUpscale:
+    def test_upscale_doubles_resolution(self):
+        rng = np.random.default_rng(5)
+        d = Denoiser(8, 8, upscale=True)
+        beauty = rng.uniform(size=(64, 3)).astype(np.float32)
+        out = np.asarray(d.denoise(jnp.asarray(beauty)))
+        assert out.shape == (16 * 16, 3)
+        assert np.isfinite(out).all()
