@@ -12,7 +12,6 @@ tree walk replaced by a predicated linear sweep over treelets.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
 

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import shlex
-import sys
 
 import numpy as np
 

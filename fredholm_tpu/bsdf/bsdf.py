@@ -23,7 +23,7 @@ from typing import Dict
 
 import jax.numpy as jnp
 
-from ..core.vecmath import lerp, rgb_to_luminance, splat
+from ..core.vecmath import lerp, rgb_to_luminance
 from ..sampling.mappings import discrete_sample_cdf
 from . import lobes
 from .fresnel import artist_friendly_metallic_fresnel

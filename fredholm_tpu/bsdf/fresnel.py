@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.vecmath import vec3, xyz_to_rgb
+from ..core.vecmath import xyz_to_rgb
 
 
 def fresnel_schlick(cos, f0):

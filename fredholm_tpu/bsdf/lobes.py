@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.vecmath import dot, normalize, reflect, refract, splat, vec3
+from ..core.vecmath import dot, normalize, reflect, refract, splat
 from ..sampling.mappings import (
     sample_cosine_weighted_hemisphere,
     sample_vndf,

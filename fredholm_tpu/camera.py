@@ -12,8 +12,6 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

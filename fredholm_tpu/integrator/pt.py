@@ -16,7 +16,6 @@ dimension ordering, so images converge to the same result:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax

@@ -10,7 +10,6 @@ Local frames have +Y as the normal (matching the reference).
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.vecmath import normalize, vec3
 

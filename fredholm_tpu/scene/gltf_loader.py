@@ -18,7 +18,7 @@ import dataclasses
 import json
 import os
 import struct
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
