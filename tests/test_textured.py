@@ -134,3 +134,42 @@ class TestAnimatedRefit:
         # background shows through
         b = r.get_layer("beauty")[8, 8]
         np.testing.assert_allclose(b, [1.0, 0.0, 0.0], atol=0.05)
+
+
+class TestInstancing:
+    def test_two_instances_of_one_quad(self):
+        """Two instances of the same submesh with different transforms both
+        render (IAS-analog path: per-face instance ids + transforms)."""
+        v, n, t, f = _quad([-0.4, -0.4, 0], [0.4, -0.4, 0], [0.4, 0.4, 0], [-0.4, 0.4, 0])
+        # duplicate faces referencing the same verts, second set instance 1
+        faces = np.concatenate([f, f])
+        transforms = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        transforms[0][0, 3] = -0.55
+        transforms[1][0, 3] = 0.55
+        sc = Scene(
+            vertices=v,
+            normals=n,
+            texcoords=t,
+            indices=faces,
+            material_ids=np.asarray([0, 0, 1, 1], np.int32),
+            instance_ids=np.asarray([0, 0, 1, 1], np.int32),
+            materials=[
+                Material(base_color=(1, 0, 0), specular=0.0,
+                         emission=1.0, emission_color=(1, 0, 0)),
+                Material(base_color=(0, 1, 0), specular=0.0,
+                         emission=1.0, emission_color=(0, 1, 0)),
+            ],
+            textures=[],
+            transforms=transforms,
+            submesh_offsets=[0, 2],
+            submesh_n_faces=[2, 2],
+        )
+        r = front_renderer(sc)
+        r.render(n_samples=1, max_depth=1)
+        img = r.get_layer("beauty")
+        # one instance emits red, the other green (film x is flipped,
+        # pt.cu:442, so +x lands on the left)
+        left = img[8, 6]
+        right = img[8, 9]
+        assert float(left[0]) > 0.5 and float(left[1]) < 0.1, left
+        assert float(right[1]) > 0.5 and float(right[0]) < 0.1, right
