@@ -14,7 +14,8 @@ Commands at the prompt:
   look <dphi> <dtheta> look around
   render [spp]         accumulate more samples
   aov <name>           beauty|denoised|position|normal|texcoord|depth|albedo
-  sky <constant|hosek> [args]
+  sky <constant|arhosek>   switch sky model
+  ibl <path.hdr>       load an environment map
   scene <name|path>    load scene (builtin name or file)
   scenes               list builtin scenes
   save [file.png]      write current AOV
@@ -121,6 +122,8 @@ def main(argv=None) -> int:
                     ctl.state.directional_light_dir = (0.3, 1.0, 0.2)
                     ctl.state.directional_light_angle = 0.53
                 ctl.update_sky_type()
+            elif cmd == "ibl":
+                ctl.load_ibl(tokens[1])
             elif cmd == "scene":
                 name = tokens[1]
                 if name in BUILTIN_SCENES:
