@@ -10,6 +10,11 @@ the whole pipeline is the final `psum` of the path-vertex perf counter
 
 This replaces the reference's single-GPU launch (renderer.h:730-733) with
 `jax.sharding.Mesh` + `shard_map` over ICI.
+
+The spp loop runs on the HOST over a cached 1-spp jitted shard_map step:
+the axon TPU backend crashes when a lax.scan wraps the traversal
+while_loop (CLAUDE.md), and the reference's progressive loop is host-side
+anyway (controller.cpp:205-230).
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..integrator.pt import render_progressive
+from ..integrator.pt import STATIC_DEV_KEYS, render_progressive
 
 from jax import shard_map  # jax >= 0.8
 
@@ -29,8 +34,24 @@ from jax import shard_map  # jax >= 0.8
 def make_mesh(n_devices=None, axis: str = "tiles") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"JAX device(s) are visible; for a virtual CPU mesh set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} BEFORE the first backend use"
+            )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def _split_static_dev(dev: Dict):
+    """Split the dev dict into (traced arrays, python branch values) on
+    exactly pt.STATIC_DEV_KEYS — the integrator raises on a tracer bool in
+    `if dev[...]`, so the static half must bypass the jit boundary."""
+    static_dev = {k: dev[k] for k in STATIC_DEV_KEYS if k in dev}
+    traced = {k: v for k, v in dev.items() if k not in STATIC_DEV_KEYS}
+    return traced, static_dev
 
 
 def render_progressive_sharded(
@@ -46,7 +67,8 @@ def render_progressive_sharded(
     """Sharded analog of render_progressive.
 
     static_params: python values (width, height, max_depth, sky_mode,
-    has_directional_light) baked into the program; dynamic_params: traced
+    has_directional_light, use_ibl_is) baked into the program —
+    renderer.static_params_from_config builds it; dynamic_params: traced
     arrays (camera, seed, colors, sky state). layers/sample_count are
     sharded along the pixel dimension (row bands); dev and dynamic_params
     are replicated. Returns (layers, sample_count), same shardings.
@@ -58,20 +80,7 @@ def render_progressive_sharded(
     )
     tile_h = height // n_dev
 
-    # integrator branches on these at trace time — keep them out of the
-    # traced pytree and reinsert via closure
-    static_dev_keys = (
-        "n_lights",
-        "any_heightmap",
-        "any_normalmap",
-        "any_textures",
-        "use_dense",
-        "use_pallas",
-        "lobes_on",
-        "has_alpha",
-    )
-    static_dev = {k: dev[k] for k in static_dev_keys if k in dev}
-    dev = {k: v for k, v in dev.items() if k not in static_dev_keys}
+    dev, static_dev = _split_static_dev(dev)
 
     def tile_fn(layers_t, count_t, dev_r, dyn_r):
         idx = jax.lax.axis_index(axis)
@@ -81,7 +90,7 @@ def render_progressive_sharded(
         p["tile_height"] = tile_h
         p["y0"] = idx * tile_h
         new_layers, new_count = render_progressive(
-            dev_r, p, layers_t, count_t, n_samples
+            dev_r, p, layers_t, count_t, 1
         )
         # per-shard vertex counters join into the global count
         new_layers["n_path_vertices"] = jax.lax.psum(
@@ -94,14 +103,18 @@ def render_progressive_sharded(
 
     layer_specs = jax.tree.map(spec_of, layers)
 
-    fn = shard_map(
-        tile_fn,
-        mesh=mesh,
-        in_specs=(layer_specs, P(axis), P(), P()),
-        out_specs=(layer_specs, P(axis)),
-        check_vma=False,
+    step = jax.jit(
+        shard_map(
+            tile_fn,
+            mesh=mesh,
+            in_specs=(layer_specs, P(axis), P(), P()),
+            out_specs=(layer_specs, P(axis)),
+            check_vma=False,
+        )
     )
-    return jax.jit(fn)(layers, sample_count, dev, dynamic_params)
+    for _ in range(n_samples):
+        layers, sample_count = step(layers, sample_count, dev, dynamic_params)
+    return layers, sample_count
 
 
 def render_spp_sharded(
@@ -119,6 +132,9 @@ def render_spp_sharded(
     merges the accumulators (SURVEY.md section 2: "spp-parallel
     accumulation... psum of radiance across devices").
 
+    n_per_device is unrolled at trace time (no scan — see module note);
+    keep it small and call repeatedly for long renders.
+
     Returns (layers, sample_count) for D * n_per_device samples, replicated.
     """
     from ..integrator.pt import make_layers
@@ -127,19 +143,7 @@ def render_spp_sharded(
     width = static_params["width"]
     height = static_params["height"]
 
-    static_dev_keys = (
-        "n_lights",
-        "any_heightmap",
-        "any_normalmap",
-        "any_textures",
-        "use_dense",
-        "use_pallas",
-        "lobes_on",
-        "has_alpha",
-        "use_clustered",
-    )
-    static_dev = {k: dev[k] for k in static_dev_keys if k in dev}
-    dev = {k: v for k, v in dev.items() if k not in static_dev_keys}
+    dev, static_dev = _split_static_dev(dev)
 
     def shard_fn(dev_r, dyn_r):
         idx = jax.lax.axis_index(axis)

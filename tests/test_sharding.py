@@ -23,22 +23,9 @@ def _setup(width=16, height=16):
 
 
 def _sharded_render(r, mesh, n_samples, max_depth=2):
-    static_params = {
-        "width": r.width,
-        "height": r.height,
-        "max_depth": max_depth,
-        "sky_mode": r.sky_mode,
-        "has_directional_light": False,
-    }
-    cfg = r._config(1, max_depth)
-    dev = dict(r._arrays())
-    dev["n_lights"] = cfg.n_lights
-    dev["any_heightmap"] = cfg.any_heightmap
-    dev["any_normalmap"] = cfg.any_normalmap
-    dev["any_textures"] = cfg.any_textures
-    dev["use_dense"] = cfg.use_dense
-    dev["use_pallas"] = False
-    dev["lobes_on"] = cfg.lobes_on
+    dev, static_params, dynamic = r.sharding_inputs(
+        max_depth=max_depth, use_pallas=False
+    )
 
     def shard_leaf(leaf):
         spec = P("tiles") if getattr(leaf, "ndim", 0) > 0 else P()
@@ -47,8 +34,7 @@ def _sharded_render(r, mesh, n_samples, max_depth=2):
     layers = jax.tree.map(shard_leaf, r.layers)
     count = jax.device_put(r.sample_count, NamedSharding(mesh, P("tiles")))
     return render_progressive_sharded(
-        mesh, dev, static_params, r._dynamic_params(), layers, count,
-        n_samples,
+        mesh, dev, static_params, dynamic, layers, count, n_samples,
     )
 
 
@@ -99,25 +85,11 @@ class TestSppSharding:
 
         r = _setup()
         mesh = make_mesh(4)
-        cfg = r._config(1, 2)
-        dev = dict(r._arrays())
-        dev["n_lights"] = cfg.n_lights
-        dev["any_heightmap"] = cfg.any_heightmap
-        dev["any_normalmap"] = cfg.any_normalmap
-        dev["any_textures"] = cfg.any_textures
-        dev["use_dense"] = cfg.use_dense
-        dev["use_pallas"] = False
-        dev["use_clustered"] = False
-        dev["lobes_on"] = cfg.lobes_on
-        static_params = {
-            "width": r.width,
-            "height": r.height,
-            "max_depth": 2,
-            "sky_mode": r.sky_mode,
-            "has_directional_light": False,
-        }
+        dev, static_params, dynamic = r.sharding_inputs(
+            max_depth=2, use_pallas=False
+        )
         layers, count = render_spp_sharded(
-            mesh, dev, static_params, r._dynamic_params(), n_per_device=2
+            mesh, dev, static_params, dynamic, n_per_device=2
         )
         # sequential single-device reference: 8 samples
         r2 = _setup()
