@@ -222,6 +222,49 @@ def _any_call(o_t, d_t, tmax_t, tris, n_tris: int):
     )(o_t, d_t, tmax_t, *tris)
 
 
+def _component_tiles(ox, oy, oz, n_pad):
+    """Pack component arrays [N] into [3, rows, 128] with padding — no
+    [N, 3] interleave, just free reshapes + one concat (the fused pipeline
+    keeps ray state in component SoA, so this avoids a real transpose)."""
+    n = ox.shape[0]
+    comps = []
+    for c in (ox, oy, oz):
+        if n != n_pad:
+            c = jnp.concatenate([c, jnp.zeros((n_pad - n,), c.dtype)])
+        comps.append(c.reshape(1, n_pad // LANES, LANES))
+    return jnp.concatenate(comps, axis=0)
+
+
+def intersect_closest_pallas_c(tris: Dict, o, d, t_max):
+    """Component-SoA entry: o, d are (x, y, z) triples of [N] arrays;
+    t_max is [N]. Returns the same hit dict as intersect_closest_pallas."""
+    n = o[0].shape[0]
+    n_pad = -(-n // RAY_TILE) * RAY_TILE
+    o_t = _component_tiles(*o, n_pad)
+    d_t = _component_tiles(*d, n_pad)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if n != n_pad:
+        t_max_p = jnp.concatenate(
+            [t_max, jnp.zeros((n_pad - n,), t_max.dtype)]
+        )
+    else:
+        t_max_p = t_max
+    tmax_t = t_max_p.reshape(n_pad // LANES, LANES)
+    tri_list = [tris[k] for k in _TRI_KEYS]
+    t, prim, u, v = _closest_call(o_t, d_t, tmax_t, tri_list,
+                                  tri_list[0].shape[1])
+    t = t.reshape(-1)[:n]
+    prim = prim.reshape(-1)[:n]
+    miss = prim < 0
+    return {
+        "t": jnp.where(miss, t_max, t),
+        "prim": prim,
+        "u": u.reshape(-1)[:n],
+        "v": v.reshape(-1)[:n],
+        "hit": ~miss,
+    }
+
+
 def intersect_closest_pallas(tris: Dict, o, d, t_max):
     """Closest hit via the fused kernel. tris: prepare_tri_soa output."""
     n = o.shape[0]

@@ -158,11 +158,16 @@ _sheen = None
 # created inside a traced context would leak a tracer into module state.
 
 
-def reflection_lut():
+def reflection_lut_np() -> np.ndarray:
+    """Host-side table (for code that bakes it into kernels as constants)."""
     global _reflection
     if _reflection is None:
         _reflection = _load_or_compute(_REFLECTION_PATH, compute_reflection_lut)
-    return jnp.asarray(_reflection)
+    return _reflection
+
+
+def reflection_lut():
+    return jnp.asarray(reflection_lut_np())
 
 
 def reflection_ior1_lut():
@@ -174,11 +179,16 @@ def reflection_ior1_lut():
     return jnp.asarray(_reflection_ior1)
 
 
-def sheen_lut():
+def sheen_lut_np() -> np.ndarray:
+    """Host-side table (for code that bakes it into kernels as constants)."""
     global _sheen
     if _sheen is None:
         _sheen = _load_or_compute(_SHEEN_PATH, compute_sheen_lut)
-    return jnp.asarray(_sheen)
+    return _sheen
+
+
+def sheen_lut():
+    return jnp.asarray(sheen_lut_np())
 
 
 # ---------------------------------------------------------------------------

@@ -174,7 +174,7 @@ def _lut_fetch_16x16(table_np: np.ndarray, u, v):
 
 def compute_directional_albedo_reflection(wo: V3, roughness, f0):
     """lut.cu:985-994: F0*R + (1-F0)*G at (|wo.y|, roughness)."""
-    table = np.asarray(lut_mod.reflection_lut())  # [16,16,2]
+    table = lut_mod.reflection_lut_np()  # [16,16,2] host constant
     u = jnp.abs(wo.y)
     v = jnp.clip(roughness, 0.0, 1.0)
     r = _lut_fetch_16x16(table[..., 0], u, v)
@@ -184,7 +184,7 @@ def compute_directional_albedo_reflection(wo: V3, roughness, f0):
 
 def compute_directional_albedo_sheen(wo: V3, roughness):
     """lut.cu:1075-1081."""
-    table = np.asarray(lut_mod.sheen_lut())
+    table = lut_mod.sheen_lut_np()  # host constant
     u = jnp.abs(wo.y)
     v = jnp.clip(roughness, 0.0, 1.0)
     return _lut_fetch_16x16(table, u, v)

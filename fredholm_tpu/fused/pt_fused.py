@@ -1,0 +1,948 @@
+"""Fused wavefront integrator: the megakernel pipeline.
+
+Restructures integrator/pt.py's per-bounce while_loop into an UNROLLED
+pipeline with three launches per bounce on TPU:
+
+  raygen -> [per bounce d: combined trace (NEE_{d-1} + light_{d-1} +
+  radiance_d in ONE call) -> one attribute gather (one-hot matmul) ->
+  megakernel (resolve d-1 + shade d + emit all next rays + RR)] ->
+  final trace -> final resolve
+
+Sampler draw ORDER matches pt.cu / integrator/pt.py exactly (RR, NEE,
+light, bounce; see CLAUDE.md invariants); because depth is unrolled, every
+Sobol dimension / CMJ slot is STATIC and the direction-matrix rows bake
+into the kernels as constants.
+
+This module holds the pipeline BODIES as shape-agnostic functions over
+component planes (dicts of same-shaped arrays) plus a pure-jnp
+orchestrator (`render_sample_fused`) that is the correctness oracle and
+CPU fallback; fused/kernels.py wraps the same bodies in Pallas kernels for
+the TPU fast path.
+
+Supported static envelope (renderer._config gates this; integrator/pt.py
+remains the general path): no textures, no alpha cutout, constant or Hosek
+sky (no IBL importance sampling), <= MAX_KERNEL_LIGHTS area lights.
+
+Reference: /root/reference/fredholm/modules/pt.cu:418-999 (the megakernel
+this wavefront pipeline replaces).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.gather import gather_rows
+from ..integrator import pt as pt_mod
+from . import cbsdf
+from .cmappings import (
+    draw_cmj_2d,
+    draw_sobol_1d,
+    sample_concentric_disk,
+    sample_cosine_weighted_hemisphere,
+    sample_triangle,
+)
+from .cvec import (
+    V3,
+    cross,
+    dot,
+    is_finite3,
+    length,
+    local_to_world,
+    normalize,
+    orthonormal_basis,
+    ray_origin_offset,
+    rgb_to_luminance,
+    to_stacked,
+    vsplat,
+    where3,
+    world_to_local,
+)
+
+RAY_TMAX = 1e9
+SHADOW_RAY_EPS = 1e-3  # pt.cu:11
+MAX_KERNEL_LIGHTS = 16  # in-kernel unrolled light-table select bound
+
+SKY_CONSTANT = 0
+SKY_HOSEK = 2
+
+
+# ---------------------------------------------------------------------------
+# fused face-attribute table: ONE one-hot gather fetches geometry + material
+# + emission for a hit (replaces ~20 separate gathers in integrator/pt.py)
+
+_COL_NAMES: List[Tuple[str, int]] = [
+    ("v0", 3), ("v1", 3), ("v2", 3),
+    ("n0", 3), ("n1", 3), ("n2", 3),
+    ("uv0", 2), ("uv1", 2), ("uv2", 2),
+    ("area", 1),
+    ("emission_color", 3), ("has_emission", 1),
+    ("base_color", 3), ("diffuse", 1), ("diffuse_roughness", 1),
+    ("specular", 1), ("specular_color", 3), ("specular_roughness", 1),
+    ("metalness", 1), ("coat", 1), ("coat_roughness", 1), ("coat_color", 3),
+    ("transmission", 1), ("transmission_color", 3),
+    ("sheen", 1), ("sheen_color", 3), ("sheen_roughness", 1),
+    ("subsurface", 1), ("subsurface_color", 3), ("thin_walled", 1),
+]
+COL = {}
+_off = 0
+for _name, _w in _COL_NAMES:
+    COL[_name] = _off
+    _off += _w
+N_COLS = _off
+FUSED_COLS = 64  # padded (lane-aligned for the transposed gather)
+assert N_COLS <= FUSED_COLS
+
+
+def build_fused_table(dev: Dict) -> np.ndarray:
+    """[F, FUSED_COLS] float32 join of face geometry + material params.
+
+    Built host-side at scene upload (scene/device.py); the per-hit
+    attribute fetch is then ONE one-hot matmul instead of many."""
+    fv = np.asarray(dev["face_verts"])  # [F,3,3]
+    fn = np.asarray(dev["face_normals"])
+    fuv = np.asarray(dev["face_uvs"])
+    mat_ids = np.asarray(dev["face_mat"])
+    m = {k: np.asarray(v) for k, v in dev["materials"].items()}
+    f = fv.shape[0]
+
+    e1 = fv[:, 1] - fv[:, 0]
+    e2 = fv[:, 2] - fv[:, 0]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+
+    ec = m["emission_color"][mat_ids]
+    has_em = (
+        (ec > 0.0).any(-1) | (m["emission_texture_id"][mat_ids] >= 0)
+    ).astype(np.float32)
+
+    out = np.zeros((f, FUSED_COLS), np.float32)
+
+    def put(name, vals):
+        vals = np.asarray(vals, np.float32).reshape(f, -1)
+        out[:, COL[name]:COL[name] + vals.shape[1]] = vals
+
+    put("v0", fv[:, 0]); put("v1", fv[:, 1]); put("v2", fv[:, 2])
+    put("n0", fn[:, 0]); put("n1", fn[:, 1]); put("n2", fn[:, 2])
+    put("uv0", fuv[:, 0]); put("uv1", fuv[:, 1]); put("uv2", fuv[:, 2])
+    put("area", area)
+    put("emission_color", ec)
+    put("has_emission", has_em)
+    for name in (
+        "base_color", "diffuse", "diffuse_roughness", "specular",
+        "specular_color", "specular_roughness", "metalness", "coat",
+        "coat_roughness", "coat_color", "transmission", "transmission_color",
+        "sheen", "sheen_color", "sheen_roughness", "subsurface",
+        "subsurface_color", "thin_walled",
+    ):
+        put(name, m[name][mat_ids])
+    return out
+
+
+def build_light_table(dev: Dict) -> np.ndarray:
+    """[max(L,1), 24] float32: per emissive face verts(9) normals(9) le(3)
+    area(1) for the in-kernel area-light select (pt.cu:282-322 analog)."""
+    lights = np.asarray(dev["lights"])
+    out = np.zeros((max(len(lights), 1), 24), np.float32)
+    if len(lights):
+        fv = np.asarray(dev["face_verts"])[lights]
+        fn = np.asarray(dev["face_normals"])[lights]
+        mat_ids = np.asarray(dev["face_mat"])[lights]
+        le = np.asarray(dev["materials"]["emission_color"])[mat_ids]
+        e1 = fv[:, 1] - fv[:, 0]
+        e2 = fv[:, 2] - fv[:, 0]
+        area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        out[:, 0:9] = fv.reshape(-1, 9)
+        out[:, 9:18] = fn.reshape(-1, 9)
+        out[:, 18:21] = le
+        out[:, 21] = area
+    return out
+
+
+# ---------------------------------------------------------------------------
+# scalar-vector packing (SMEM payload for the kernels)
+
+SV_SIZE = 64
+_SV = {
+    "cam": 0,           # 12: camera-to-world [3,4] row-major
+    "fov": 12, "F": 13, "focus": 14,
+    "sky_intensity": 15,
+    "bg": 16,           # 3
+    "sun_dir": 19,      # 3
+    "dl_le": 22, "dl_dir": 25, "dl_angle": 28,
+    "hosek_cfg": 29,    # 27 = 3 channels x 9 coeffs
+    "hosek_rad": 56,    # 3
+}
+USV_SIZE = 8
+_USV = {"seed_hash": 0, "n_pixels": 1}
+
+
+def pack_scalars(params: Dict, n_pixels: int):
+    """(sv [SV_SIZE] f32, usv [USV_SIZE] u32) from the dynamic params."""
+    from ..core.rng import xxhash32
+
+    sv = jnp.zeros((SV_SIZE,), jnp.float32)
+    cam = params["camera"]
+    sv = sv.at[0:12].set(jnp.asarray(cam["transform"]).reshape(-1))
+    sv = sv.at[12].set(cam["fov"])
+    sv = sv.at[13].set(cam["F"])
+    sv = sv.at[14].set(cam["focus"])
+    sv = sv.at[15].set(jnp.float32(params.get("sky_intensity", 1.0)))
+    sv = sv.at[16:19].set(
+        jnp.asarray(params.get("bg_color", jnp.zeros(3, jnp.float32)))
+    )
+    sv = sv.at[19:22].set(
+        jnp.asarray(
+            params.get("sun_direction", jnp.zeros(3, jnp.float32))
+        )
+    )
+    if "directional_light" in params:
+        dl = params["directional_light"]
+        sv = sv.at[22:25].set(jnp.asarray(dl["le"]))
+        sv = sv.at[25:28].set(jnp.asarray(dl["dir"]))
+        sv = sv.at[28].set(dl["angle"])
+    if "hosek" in params:
+        h = params["hosek"]
+        sv = sv.at[29:56].set(jnp.asarray(h["configs"]).reshape(-1))
+        sv = sv.at[56:59].set(jnp.asarray(h["radiances"]))
+
+    usv = jnp.zeros((USV_SIZE,), jnp.uint32)
+    usv = usv.at[0].set(
+        xxhash32(jnp.asarray(params["seed"]).astype(jnp.uint32))
+    )
+    usv = usv.at[1].set(jnp.uint32(n_pixels % (1 << 32)))
+    return sv, usv
+
+
+def _sv3(sv, base) -> V3:
+    return V3(sv[base], sv[base + 1], sv[base + 2])
+
+
+# ---------------------------------------------------------------------------
+# static pipeline config
+
+
+class FusedConfig(NamedTuple):
+    width: int
+    height: int
+    max_depth: int
+    sky_mode: int           # SKY_CONSTANT or SKY_HOSEK
+    has_dl: bool
+    n_lights: int
+    lobes_on: tuple
+
+    @property
+    def has_area(self) -> bool:
+        return self.n_lights > 0
+
+    @property
+    def nee_blocks(self) -> tuple:
+        b = ("sky",)
+        if self.has_dl:
+            b = b + ("dl",)
+        if self.has_area:
+            b = b + ("area",)
+        return b
+
+    @property
+    def n1(self) -> int:  # Sobol 1D draws per bounce
+        return 3 + (1 if self.has_area else 0)
+
+    @property
+    def n2(self) -> int:  # CMJ 2D draws per bounce
+        return 3 + (1 if self.has_dl else 0) + (1 if self.has_area else 0)
+
+    def sobol_dim(self, d: int, slot: int) -> int:
+        """slot 0=rr, then area_u1 (if any), light_u1, bounce_u1 in order."""
+        return 1 + d * self.n1 + slot
+
+    def cmj_depth(self, d: int, slot: int) -> int:
+        """slot among present [dl, sky, area, light, bounce] in order."""
+        return 2 + d * self.n2 + slot
+
+
+def fused_supported(dev: Dict, params: Dict) -> bool:
+    """Static envelope check (see module docstring)."""
+    return (
+        not dev.get("any_textures", True)
+        and not dev.get("has_alpha", False)
+        and not dev.get("any_heightmap", False)
+        and not dev.get("any_normalmap", False)
+        and params["sky_mode"] in (SKY_CONSTANT, SKY_HOSEK)
+        and not params.get("use_ibl_is", False)
+        and dev.get("n_lights", 0) <= MAX_KERNEL_LIGHTS
+        and (params["width"] * params.get("tile_height", params["height"]))
+        % 128 == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline bodies (shape-agnostic: run on [N] arrays under jnp or on
+# [S, 128] tiles inside Pallas kernels)
+
+
+def eval_sky_c(cfg: FusedConfig, sv, v: V3) -> V3:
+    """Component-form eval_sky (pt.py:168-181) for constant/Hosek modes."""
+    if cfg.sky_mode == SKY_CONSTANT:
+        bg = _sv3(sv, _SV["bg"])
+        one = jnp.ones_like(v.y)
+        return V3(bg.x * one, bg.y * one, bg.z * one)
+
+    # Hosek (sky/hosek.py sky_radiance, arhosek.cu:103-127)
+    intensity = sv[_SV["sky_intensity"]]
+    sun = _sv3(sv, _SV["sun_dir"])
+    theta = jnp.arccos(jnp.clip(v.y, -1.0, 1.0))
+    gamma = jnp.arccos(
+        jnp.clip(sun.x * v.x + sun.y * v.y + sun.z * v.z, -1.0, 1.0)
+    )
+    theta = jnp.minimum(theta, 0.5 * jnp.pi - 1e-3)
+    cos_g = jnp.cos(gamma)
+    cos_t = jnp.cos(theta)
+    zenith = jnp.sqrt(jnp.maximum(cos_t, 0.0))
+    ray_m = cos_g * cos_g
+    out = []
+    for ch in range(3):
+        base = _SV["hosek_cfg"] + 9 * ch
+        c = [sv[base + k] for k in range(9)]
+        exp_m = jnp.exp(c[4] * gamma)
+        mie_m = (1.0 + cos_g * cos_g) / jnp.power(
+            jnp.maximum(1.0 + c[8] * c[8] - 2.0 * c[8] * cos_g, 1e-8), 1.5
+        )
+        r = (1.0 + c[0] * jnp.exp(c[1] / (cos_t + 0.01))) * (
+            c[2] + c[3] * exp_m + c[5] * ray_m + c[6] * mie_m + c[7] * zenith
+        )
+        out.append(jnp.maximum(r * sv[_SV["hosek_rad"] + ch], 0.0))
+    return V3(out[0] * intensity, out[1] * intensity, out[2] * intensity)
+
+
+def raygen_body(cfg: FusedConfig, sv, usv, px, py, image_idx, n_spp):
+    """Camera ray + depth-0 RR draw (pt.cu:418-462 head).
+
+    px/py: f32 pixel coords; image_idx/n_spp: u32 planes. Returns a state
+    dict (o/d V3, tmax, thr V3, alive, sample_idx u32)."""
+    seed_hash = usv[_USV["seed_hash"]]
+    n_pixels = usv[_USV["n_pixels"]]
+    sample_idx = image_idx + n_spp * n_pixels
+
+    # camera draws: CMJ depths 0 (pixel jitter) and 1 (lens)
+    jx, jy = draw_cmj_2d(n_spp, image_idx, 0, seed_hash)
+    lx, ly = draw_cmj_2d(n_spp, image_idx, 1, seed_hash)
+
+    # pixel_uv (camera.py:146-151)
+    u = (2.0 * (px + jx) - cfg.width) / cfg.height
+    v = (2.0 * (py + jy) - cfg.height) / cfg.height
+    uvx, uvy = -u, v
+
+    # thin-lens (camera.cu:24-53 / camera.py:169-194)
+    f = 1.0 / jnp.tan(0.5 * sv[_SV["fov"]])
+    b = sv[_SV["focus"]]
+    a = 1.0 / (1.0 + f - 1.0 / b)
+    lens_radius = 2.0 * f / sv[_SV["F"]]
+
+    zeros = jnp.zeros_like(uvx)
+    p_sensor = V3(uvx, uvy, zeros)
+    p_lens_center = V3(zeros, zeros, zeros + f)
+    dx, dy = sample_concentric_disk(lx, ly)
+    p_lens = V3(
+        p_lens_center.x + lens_radius * dx,
+        p_lens_center.y + lens_radius * dy,
+        p_lens_center.z,
+    )
+    stl = normalize(p_lens_center - p_sensor)
+    t_obj = (a + b) / stl.z
+    p_object = V3(
+        p_sensor.x + t_obj * stl.x,
+        p_sensor.y + t_obj * stl.y,
+        p_sensor.z + t_obj * stl.z,
+    )
+
+    m = [sv[_SV["cam"] + k] for k in range(12)]
+    origin = V3(
+        m[0] * p_lens.x + m[1] * p_lens.y + m[2] * p_lens.z + m[3],
+        m[4] * p_lens.x + m[5] * p_lens.y + m[6] * p_lens.z + m[7],
+        m[8] * p_lens.x + m[9] * p_lens.y + m[10] * p_lens.z + m[11],
+    )
+    dloc = normalize(p_object - p_lens)
+    dloc = V3(dloc.x, dloc.y, -dloc.z)  # z-flip (camera.cu:19)
+    direction = V3(
+        m[0] * dloc.x + m[1] * dloc.y + m[2] * dloc.z,
+        m[4] * dloc.x + m[5] * dloc.y + m[6] * dloc.z,
+        m[8] * dloc.x + m[9] * dloc.y + m[10] * dloc.z,
+    )
+
+    # depth-0 RR draw (prob 1; the draw is still consumed, pt.cu:455-462)
+    u_rr = draw_sobol_1d(sample_idx, cfg.sobol_dim(0, 0), seed_hash)
+    alive = u_rr < 1.0
+    one = jnp.ones_like(u_rr)
+    return {
+        "o": origin,
+        "d": direction,
+        "tmax": jnp.where(alive, RAY_TMAX, -1.0),
+        "thr": V3(one, one, one),
+        "alive": alive,
+        "sample_idx": sample_idx,
+    }
+
+
+def _interp3(attr, base, w0, w1, w2) -> V3:
+    """Interpolate a per-vertex vec3 attribute laid out as 9 consecutive
+    columns (v0.xyz, v1.xyz, v2.xyz) starting at `base`."""
+    return V3(
+        w0 * attr[base + 0] + w1 * attr[base + 3] + w2 * attr[base + 6],
+        w0 * attr[base + 1] + w1 * attr[base + 4] + w2 * attr[base + 7],
+        w0 * attr[base + 2] + w1 * attr[base + 5] + w2 * attr[base + 8],
+    )
+
+
+def _attr3(attr, name) -> V3:
+    c = COL[name]
+    return V3(attr[c], attr[c + 1], attr[c + 2])
+
+
+def _shading_params_from_attr(attr) -> Dict:
+    """fill_shading_params, no-texture path (pt.py:222-256)."""
+    return {
+        "base_color": _attr3(attr, "base_color"),
+        "diffuse": attr[COL["diffuse"]],
+        "diffuse_roughness": attr[COL["diffuse_roughness"]],
+        "specular": attr[COL["specular"]],
+        "specular_color": _attr3(attr, "specular_color"),
+        "specular_roughness": jnp.clip(
+            attr[COL["specular_roughness"]], 0.01, 1.0
+        ),
+        "metalness": attr[COL["metalness"]],
+        "coat": jnp.clip(attr[COL["coat"]], 0.0, 1.0),
+        "coat_roughness": jnp.clip(attr[COL["coat_roughness"]], 0.0, 1.0),
+        "coat_color": _attr3(attr, "coat_color"),
+        "transmission": attr[COL["transmission"]],
+        "transmission_color": _attr3(attr, "transmission_color"),
+        "sheen": attr[COL["sheen"]],
+        "sheen_color": _attr3(attr, "sheen_color"),
+        "sheen_roughness": attr[COL["sheen_roughness"]],
+        "subsurface": attr[COL["subsurface"]],
+        "subsurface_color": _attr3(attr, "subsurface_color"),
+        "thin_walled": attr[COL["thin_walled"]],
+    }
+
+
+def _select_light(light_table, n_lights: int, u1):
+    """Unrolled light-row select by sampled index (pt.cu:282-322 head).
+    light_table must support static scalar indexing [l, col]."""
+    idx = jnp.clip(
+        (u1 * n_lights).astype(jnp.int32), 0, max(n_lights - 1, 0)
+    )
+
+    def sel(col):
+        out = jnp.zeros_like(u1)
+        for l in range(n_lights):
+            out = jnp.where(idx == l, light_table[l, col], out)
+        return out
+
+    def sel3(col):
+        return V3(sel(col), sel(col + 1), sel(col + 2))
+
+    return (
+        sel3(0), sel3(3), sel3(6),    # verts
+        sel3(9), sel3(12), sel3(15),  # normals
+        sel3(18),                      # le
+        sel(21),                       # area
+    )
+
+
+def _clip3(v: V3, lo, hi) -> V3:
+    return V3(
+        jnp.clip(v.x, lo, hi), jnp.clip(v.y, lo, hi), jnp.clip(v.z, lo, hi)
+    )
+
+
+def _resolve_pending(cfg: FusedConfig, sv, rad: V3, resolve: Dict) -> V3:
+    """Apply bounce d-1's pending NEE visibility + BSDF-light-ray MIS
+    (pt.cu:767-925 tails)."""
+    zero = jnp.zeros_like(rad.x)
+    z3 = V3(zero, zero, zero)
+    for blk in cfg.nee_blocks:
+        vis = ~resolve["occ_" + blk]
+        c = resolve["c_" + blk]
+        rad = rad + where3(vis, c, z3)
+
+    la = resolve["lattr"]
+    lw1 = resolve["l_u"]
+    lw2 = resolve["l_v"]
+    lw0 = 1.0 - lw1 - lw2
+    l_p = _interp3(la, COL["v0"], lw0, lw1, lw2)
+    l_n = _interp3(la, COL["n0"], lw0, lw1, lw2)
+    ldir = resolve["l_d"]
+    l_hit = resolve["l_hit"]
+    l_emissive = (la[COL["has_emission"]] > 0.0) & (dot(-ldir, l_n) > 0.0)
+    hit_light = l_hit & l_emissive
+
+    le_hit = _attr3(la, "emission_color")
+    le_miss = eval_sky_c(cfg, sv, ldir)
+    le = where3(l_hit, where3(hit_light, le_hit, z3), le_miss)
+
+    to_p = l_p - resolve["l_o"]
+    r2 = dot(to_p, to_p)
+    n_l = max(cfg.n_lights, 1)
+    pdf_area_hit = 1.0 / (n_l * jnp.maximum(la[COL["area"]], 1e-12))
+    pdf_light_hit = (
+        r2 / jnp.maximum(jnp.abs(dot(-ldir, l_n)), 1e-12) * pdf_area_hit
+    )
+    pdf_light_miss = jnp.abs(resolve["wi_l_y"]) / jnp.pi
+    pdf_light = jnp.where(hit_light, pdf_light_hit, pdf_light_miss)
+    pdf_l = resolve["pdf_l"]
+    # guard 0/0 (pt.py keeps mis_w inside a pdf_l>0 where-branch)
+    mis_w = jnp.where(
+        pdf_l > 0.0, pdf_l / jnp.maximum(pdf_l + pdf_light, 1e-20), 0.0
+    )
+    w = _clip3(resolve["tpf"] * vsplat(mis_w), 0.0, 1.0)
+    return rad + w * le
+
+
+def mega_body(
+    cfg: FusedConfig,
+    d: int,
+    sv,
+    usv,
+    image_idx,
+    n_spp,
+    sample_idx,
+    light_table,
+    state: Dict,
+    rhit: Dict,
+    rattr: Dict,
+    resolve: Dict,
+):
+    """Resolve bounce d-1 pending transport, shade bounce d, emit all of
+    bounce d's rays + next RR (pt.cu:455-943 for one depth).
+
+    Returns (new_state, rays {blk: (o V3, d V3, tmax)}, pending, aovs)."""
+    seed_hash = usv[_USV["seed_hash"]]
+    alive = state["alive"]
+    thr = state["thr"]
+    zero = jnp.zeros_like(rhit["t"])
+    z3 = V3(zero, zero, zero)
+    rad = state["rad"] if state.get("rad") is not None else z3
+    nv = state["nv"] if state.get("nv") is not None else zero
+
+    if d > 0:
+        rad = _resolve_pending(cfg, sv, rad, resolve)
+
+    # ---- shade bounce d
+    hit = rhit["hit"]
+    direction = state["d"]
+
+    if d == 0:
+        # sky on first-hit miss (pt.cu:504-523)
+        sky_le = eval_sky_c(cfg, sv, direction)
+        miss_first = alive & ~hit
+        rad = rad + where3(miss_first, thr * sky_le, z3)
+    alive = alive & hit
+    nv = nv + alive.astype(jnp.float32)
+
+    # surface info (pt.py fill_surface_info)
+    w1 = rhit["u"]
+    w2 = rhit["v"]
+    w0 = 1.0 - w1 - w2
+    x = _interp3(rattr, COL["v0"], w0, w1, w2)
+    fv0 = _attr3(rattr, "v0")
+    fv1 = _attr3(rattr, "v1")
+    fv2 = _attr3(rattr, "v2")
+    n_g = normalize(cross(fv1 - fv0, fv2 - fv0), eps=1e-20)
+    n_s = normalize(_interp3(rattr, COL["n0"], w0, w1, w2), eps=1e-20)
+    texcoord_u = (
+        w0 * rattr[COL["uv0"]] + w1 * rattr[COL["uv1"]]
+        + w2 * rattr[COL["uv2"]]
+    )
+    texcoord_v = (
+        w0 * rattr[COL["uv0"] + 1] + w1 * rattr[COL["uv1"] + 1]
+        + w2 * rattr[COL["uv2"] + 1]
+    )
+    is_entering = dot(-direction, n_g) > 0.0
+    flip = jnp.where(is_entering, 1.0, -1.0)
+    n_s = V3(n_s.x * flip, n_s.y * flip, n_s.z * flip)
+    n_g = V3(n_g.x * flip, n_g.y * flip, n_g.z * flip)
+    tangent, bitangent = orthonormal_basis(n_s)
+
+    sp = _shading_params_from_attr(rattr)
+
+    aovs = None
+    if d == 0:
+        # first-hit AOVs + emissive-hit termination (pt.cu:745-760)
+        capture = alive
+        aovs = {
+            "position": where3(capture, x, z3),
+            "normal": where3(capture, n_s, z3),
+            "depth": jnp.where(capture, rhit["t"], 0.0),
+            "texcoord_u": jnp.where(capture, texcoord_u, 0.0),
+            "texcoord_v": jnp.where(capture, texcoord_v, 0.0),
+            "albedo": where3(capture, sp["base_color"], z3),
+        }
+        emissive = rattr[COL["has_emission"]] > 0.0
+        emit_now = capture & emissive
+        le0 = _attr3(rattr, "emission_color")
+        rad = rad + where3(emit_now, thr * le0, z3)
+        alive = alive & ~emit_now
+
+    # BSDF context
+    wo = world_to_local(-direction, tangent, n_s, bitangent)
+    ctx = cbsdf.setup(wo, sp, is_entering, cfg.lobes_on)
+    shadow_origin = ray_origin_offset(x, n_g)
+    shadow_tmax = jnp.where(alive, RAY_TMAX, -1.0)
+
+    rays = {}
+    pending = {}
+
+    # ---- NEE (pt.cu:767-890); draw order [dl], sky, [area]
+    cmj_slot = 0
+    if cfg.has_dl:
+        ux, uy = draw_cmj_2d(
+            n_spp, image_idx, cfg.cmj_depth(d, cmj_slot), seed_hash
+        )
+        cmj_slot += 1
+        dist = 1e9
+        dxx, dyy = sample_concentric_disk(ux, uy)
+        ddir_s = _sv3(sv, _SV["dl_dir"])
+        ddir = V3(ddir_s.x + zero, ddir_s.y + zero, ddir_s.z + zero)
+        disk_r = dist * jnp.tan(jnp.deg2rad(0.5 * sv[_SV["dl_angle"]]))
+        t_dl, b_dl = orthonormal_basis(ddir)
+        p_sun = V3(
+            dist * ddir.x + disk_r * (t_dl.x * dxx + b_dl.x * dyy),
+            dist * ddir.y + disk_r * (t_dl.y * dxx + b_dl.y * dyy),
+            dist * ddir.z + disk_r * (t_dl.z * dxx + b_dl.z * dyy),
+        )
+        sdir_dl = normalize(p_sun - shadow_origin)
+        rays["dl"] = (shadow_origin, sdir_dl, shadow_tmax)
+
+        wi = world_to_local(sdir_dl, tangent, n_s, bitangent)
+        f = cbsdf.eval(ctx, wo, wi)
+        pdf_bsdf = cbsdf.eval_pdf(ctx, wo, wi)
+        mis_w = 1.0 / (1.0 + pdf_bsdf)
+        wgt = _clip3(thr * vsplat(mis_w * jnp.abs(wi.y)) * f, 0.0, 1.0)
+        le_dl = _sv3(sv, _SV["dl_le"])
+        c_dl = V3(wgt.x * le_dl.x, wgt.y * le_dl.y, wgt.z * le_dl.z)
+        pending["c_dl"] = where3(alive, c_dl, z3)
+
+    # sky NEE: cosine-hemisphere (pt.cu:796-857; kernel mode has no IBL-IS)
+    ux, uy = draw_cmj_2d(
+        n_spp, image_idx, cfg.cmj_depth(d, cmj_slot), seed_hash
+    )
+    cmj_slot += 1
+    wi_sky = sample_cosine_weighted_hemisphere(ux, uy)
+    sdir_sky = local_to_world(wi_sky, tangent, n_s, bitangent)
+    cos_sky = jnp.abs(wi_sky.y)
+    pdf_sky = cos_sky / jnp.pi
+    rays["sky"] = (shadow_origin, sdir_sky, shadow_tmax)
+
+    f = cbsdf.eval(ctx, wo, wi_sky)
+    pdf_bsdf = cbsdf.eval_pdf(ctx, wo, wi_sky)
+    mis_w = pdf_sky / (pdf_sky + pdf_bsdf)
+    scale = jnp.where(
+        pdf_sky > 0.0, mis_w * cos_sky / jnp.maximum(pdf_sky, 1e-12), 0.0
+    )
+    wgt = _clip3(thr * vsplat(scale) * f, 0.0, 1.0)
+    sky_le_nee = eval_sky_c(cfg, sv, sdir_sky)
+    pending["c_sky"] = where3(alive, wgt * sky_le_nee, z3)
+
+    sobol_slot = 1
+    if cfg.has_area:
+        u1 = draw_sobol_1d(
+            sample_idx, cfg.sobol_dim(d, sobol_slot), seed_hash
+        )
+        sobol_slot += 1
+        ux, uy = draw_cmj_2d(
+            n_spp, image_idx, cfg.cmj_depth(d, cmj_slot), seed_hash
+        )
+        cmj_slot += 1
+        fv0l, fv1l, fv2l, fn0l, fn1l, fn2l, le_l, area_l = _select_light(
+            light_table, cfg.n_lights, u1
+        )
+        b0, b1 = sample_triangle(ux, uy)
+        lb0 = 1.0 - b0 - b1
+        p_l = V3(
+            lb0 * fv0l.x + b0 * fv1l.x + b1 * fv2l.x,
+            lb0 * fv0l.y + b0 * fv1l.y + b1 * fv2l.y,
+            lb0 * fv0l.z + b0 * fv1l.z + b1 * fv2l.z,
+        )
+        n_lv = V3(
+            lb0 * fn0l.x + b0 * fn1l.x + b1 * fn2l.x,
+            lb0 * fn0l.y + b0 * fn1l.y + b1 * fn2l.y,
+            lb0 * fn0l.z + b0 * fn1l.z + b1 * fn2l.z,
+        )
+        pdf_area = 1.0 / (cfg.n_lights * jnp.maximum(area_l, 1e-12))
+
+        to_l = p_l - shadow_origin
+        r = length(to_l)
+        inv_r = 1.0 / jnp.maximum(r, 1e-12)
+        sdir_area = V3(to_l.x * inv_r, to_l.y * inv_r, to_l.z * inv_r)
+        rays["area"] = (
+            shadow_origin,
+            sdir_area,
+            jnp.where(alive, r - SHADOW_RAY_EPS, -1.0),
+        )
+
+        front = dot(-sdir_area, n_lv) > 0.0
+        wi = world_to_local(sdir_area, tangent, n_s, bitangent)
+        f = cbsdf.eval(ctx, wo, wi)
+        pdf = (
+            r * r / jnp.maximum(jnp.abs(dot(-sdir_area, n_lv)), 1e-12)
+            * pdf_area
+        )
+        pdf_bsdf = cbsdf.eval_pdf(ctx, wo, wi)
+        mis_w = pdf / (pdf + pdf_bsdf)
+        wgt = _clip3(
+            thr * vsplat(mis_w * jnp.abs(wi.y) / jnp.maximum(pdf, 1e-12)) * f,
+            0.0,
+            1.0,
+        )
+        pending["c_area"] = where3(alive & front, wgt * le_l, z3)
+
+    # ---- BSDF-sampled light ray (pt.cu:892-925 head)
+    u1 = draw_sobol_1d(sample_idx, cfg.sobol_dim(d, sobol_slot), seed_hash)
+    sobol_slot += 1
+    ux, uy = draw_cmj_2d(
+        n_spp, image_idx, cfg.cmj_depth(d, cmj_slot), seed_hash
+    )
+    cmj_slot += 1
+    wi_l, f_l, pdf_l = cbsdf.sample(ctx, wo, u1, ux, uy)
+    ldir = local_to_world(wi_l, tangent, n_s, bitangent)
+    transmitted = dot(ldir, n_g) < 0.0
+    lorigin = ray_origin_offset(x, where3(transmitted, -n_g, n_g))
+    rays["light"] = (lorigin, ldir, jnp.where(alive, RAY_TMAX, -1.0))
+
+    tpf_scale = jnp.where(
+        pdf_l > 0.0, jnp.abs(wi_l.y) / jnp.maximum(pdf_l, 1e-12), 0.0
+    )
+    pending["tpf"] = where3(alive, thr * vsplat(tpf_scale) * f_l, z3)
+    pending["pdf_l"] = pdf_l
+    pending["wi_l_y"] = wi_l.y
+
+    # ---- next bounce (pt.cu:927-943)
+    u1 = draw_sobol_1d(sample_idx, cfg.sobol_dim(d, sobol_slot), seed_hash)
+    ux, uy = draw_cmj_2d(
+        n_spp, image_idx, cfg.cmj_depth(d, cmj_slot), seed_hash
+    )
+    wi_n, f_n, pdf_n = cbsdf.sample(ctx, wo, u1, ux, uy)
+    wi_world = local_to_world(wi_n, tangent, n_s, bitangent)
+    bounce_w = jnp.where(
+        pdf_n > 0.0, jnp.abs(wi_n.y) / jnp.maximum(pdf_n, 1e-12), 0.0
+    )
+    new_thr = thr * f_n * vsplat(bounce_w)
+    transmitted = dot(wi_world, n_g) < 0.0
+    new_o = ray_origin_offset(x, where3(transmitted, -n_g, n_g))
+
+    alive_next = alive & is_finite3(new_thr) & (pdf_n > 0.0)
+
+    # dead lanes keep stale ray state (pt.py `keep` masking)
+    new_o = where3(alive_next, new_o, state["o"])
+    new_d = where3(alive_next, wi_world, direction)
+    new_thr = where3(alive_next, new_thr, thr)
+
+    # ---- RR for bounce d+1 (drawn here == start of pt.cu body d+1)
+    if d + 1 < cfg.max_depth:
+        u_rr = draw_sobol_1d(
+            sample_idx, cfg.sobol_dim(d + 1, 0), seed_hash
+        )
+        rr_prob = jnp.clip(rgb_to_luminance(new_thr), 0.0, 1.0)
+        alive_next = alive_next & (u_rr < rr_prob)
+        inv_rr = 1.0 / jnp.maximum(rr_prob, 1e-12)
+        new_thr = V3(
+            new_thr.x * inv_rr, new_thr.y * inv_rr, new_thr.z * inv_rr
+        )
+
+    rays["rad"] = (new_o, new_d, jnp.where(alive_next, RAY_TMAX, -1.0))
+
+    new_state = {
+        "o": new_o,
+        "d": new_d,
+        "thr": new_thr,
+        "alive": alive_next,
+        "rad": rad,
+        "nv": nv,
+    }
+    return new_state, rays, pending, aovs
+
+
+def final_resolve_body(cfg: FusedConfig, sv, state: Dict, resolve: Dict):
+    """Resolve the LAST bounce's pending transport + NaN scrub
+    (pt.cu:474-478)."""
+    rad = _resolve_pending(cfg, sv, state["rad"], resolve)
+    zero = jnp.zeros_like(rad.x)
+    return where3(is_finite3(rad), rad, V3(zero, zero, zero))
+
+
+# ---------------------------------------------------------------------------
+# pure-jnp orchestrator (oracle + CPU fallback)
+
+
+def _trace_c(dev, o: V3, dd: V3, t):
+    """Component-layout trace: feeds the Pallas dense kernel without an
+    [N,3] interleave; falls back to the stacked dispatcher otherwise."""
+    if dev["use_dense"] and dev.get("use_pallas", True):
+        from ..accel.pallas_dense import intersect_closest_pallas_c
+
+        return intersect_closest_pallas_c(
+            dev["tri_soa"], (o.x, o.y, o.z), (dd.x, dd.y, dd.z), t
+        )
+    return pt_mod._trace_closest_raw(dev, to_stacked(o), to_stacked(dd), t)
+
+
+def _concat_rays(ray_list):
+    o = V3(
+        jnp.concatenate([r[0].x for r in ray_list]),
+        jnp.concatenate([r[0].y for r in ray_list]),
+        jnp.concatenate([r[0].z for r in ray_list]),
+    )
+    d = V3(
+        jnp.concatenate([r[1].x for r in ray_list]),
+        jnp.concatenate([r[1].y for r in ray_list]),
+        jnp.concatenate([r[1].z for r in ray_list]),
+    )
+    t = jnp.concatenate([r[2] for r in ray_list])
+    return o, d, t
+
+
+def _gather_attrs(dev, prim):
+    table = dev["fused_table"]  # [F, FUSED_COLS]
+    p = jnp.clip(prim, 0, table.shape[0] - 1)
+    out = gather_rows(table, p, dev.get("use_dense", False))  # [M, C]
+    return {c: out[:, c] for c in range(N_COLS)}
+
+
+def _make_resolve(cfg, dev, hit_all, blocks, n, prev_rays, prev_pending):
+    def blk(arr, i):
+        return arr[i * n:(i + 1) * n]
+
+    li = blocks.index("light")
+    resolve = {
+        "l_hit": blk(hit_all["hit"], li),
+        "l_u": blk(hit_all["u"], li),
+        "l_v": blk(hit_all["v"], li),
+        "l_o": prev_rays["light"][0],
+        "l_d": prev_rays["light"][1],
+        "tpf": prev_pending["tpf"],
+        "pdf_l": prev_pending["pdf_l"],
+        "wi_l_y": prev_pending["wi_l_y"],
+    }
+    for bi, b in enumerate(blocks):
+        if b in ("light", "rad"):
+            continue
+        resolve["occ_" + b] = blk(hit_all["hit"], bi)
+        resolve["c_" + b] = prev_pending["c_" + b]
+    return resolve
+
+
+def render_sample_fused(dev: Dict, params: Dict, n_spp):
+    """Drop-in replacement for pt.render_sample on the supported envelope;
+    returns the same stacked [N, ...] AOV dict."""
+    width = params["width"]
+    height = params["height"]
+    tile_height = params.get("tile_height", height)
+    y0 = params.get("y0", 0)
+    n = width * tile_height
+    cfg = FusedConfig(
+        width=width,
+        height=height,
+        max_depth=params["max_depth"],
+        sky_mode=params["sky_mode"],
+        has_dl=params["has_directional_light"],
+        n_lights=dev["n_lights"],
+        lobes_on=dev.get("lobes_on", cbsdf.ALL_LOBES),
+    )
+
+    px_u = jnp.tile(jnp.arange(width, dtype=jnp.uint32), tile_height)
+    py_u = jnp.repeat(
+        jnp.arange(tile_height, dtype=jnp.uint32), width
+    ) + jnp.asarray(y0, jnp.uint32)
+    image_idx = px_u + np.uint32(width) * py_u
+    px = px_u.astype(jnp.float32)
+    py = py_u.astype(jnp.float32)
+    n_spp = jnp.asarray(n_spp).astype(jnp.uint32)
+
+    sv, usv = pack_scalars(params, width * height)
+    light_table = dev["light_table"]
+
+    state = raygen_body(cfg, sv, usv, px, py, image_idx, n_spp)
+    sample_idx = state.pop("sample_idx")
+    state["rad"] = None
+    state["nv"] = None
+
+    aovs = None
+    prev_rays = None
+    prev_pending = None
+
+    for d in range(cfg.max_depth):
+        if d == 0:
+            blocks = ["rad"]
+            ray_list = [(state["o"], state["d"], state.pop("tmax"))]
+        else:
+            blocks = list(cfg.nee_blocks) + ["light", "rad"]
+            ray_list = [prev_rays[b] for b in blocks]
+        o_all, d_all, t_all = _concat_rays(ray_list)
+        hit_all = _trace_c(dev, o_all, d_all, t_all)
+
+        ri = blocks.index("rad")
+
+        def blk(arr, i):
+            return arr[i * n:(i + 1) * n]
+
+        rhit = {
+            "hit": blk(hit_all["hit"], ri),
+            "t": blk(hit_all["t"], ri),
+            "u": blk(hit_all["u"], ri),
+            "v": blk(hit_all["v"], ri),
+        }
+
+        if d > 0:
+            li = blocks.index("light")
+            prim2 = jnp.concatenate(
+                [blk(hit_all["prim"], li), blk(hit_all["prim"], ri)]
+            )
+            attrs2 = _gather_attrs(dev, prim2)
+            lattr = {c: v[:n] for c, v in attrs2.items()}
+            rattr = {c: v[n:] for c, v in attrs2.items()}
+            resolve = _make_resolve(
+                cfg, dev, hit_all, blocks, n, prev_rays, prev_pending
+            )
+            resolve["lattr"] = lattr
+        else:
+            rattr = _gather_attrs(dev, hit_all["prim"])
+            resolve = {}
+
+        state, rays, pending, aovs_d = mega_body(
+            cfg, d, sv, usv, image_idx, n_spp, sample_idx, light_table,
+            state, rhit, rattr, resolve,
+        )
+        if d == 0:
+            aovs = aovs_d
+        prev_rays = rays
+        prev_pending = pending
+
+    # final: trace the last bounce's pending NEE + light blocks
+    blocks = list(cfg.nee_blocks) + ["light"]
+    ray_list = [prev_rays[b] for b in blocks]
+    o_all, d_all, t_all = _concat_rays(ray_list)
+    hit_all = _trace_c(dev, o_all, d_all, t_all)
+
+    def blk(arr, i):
+        return arr[i * n:(i + 1) * n]
+
+    li = blocks.index("light")
+    resolve = _make_resolve(
+        cfg, dev, hit_all, blocks, n, prev_rays, prev_pending
+    )
+    resolve["lattr"] = _gather_attrs(dev, blk(hit_all["prim"], li))
+
+    rad = final_resolve_body(cfg, sv, state, resolve)
+
+    return {
+        "radiance": to_stacked(rad),
+        "position": to_stacked(aovs["position"]),
+        "normal": to_stacked(aovs["normal"]),
+        "depth": aovs["depth"],
+        "texcoord": jnp.stack(
+            [aovs["texcoord_u"], aovs["texcoord_v"]], axis=-1
+        ),
+        "albedo": to_stacked(aovs["albedo"]),
+        "n_path_vertices": jnp.sum(state["nv"]),
+    }

@@ -835,8 +835,13 @@ def render_progressive(dev, params, layers, sample_count, n_samples: int):
     large n_samples here.
     """
 
+    if params.get("use_fused", False):
+        from ..fused.pt_fused import render_sample_fused as sample_fn
+    else:
+        sample_fn = render_sample
+
     for _ in range(n_samples):
-        out = render_sample(dev, params, sample_count)
+        out = sample_fn(dev, params, sample_count)
         coef = 1.0 / (sample_count.astype(jnp.float32) + 1.0)
         nf = sample_count.astype(jnp.float32)
 

@@ -47,6 +47,7 @@ class StaticConfig:
     has_alpha: bool
     use_clustered: bool
     use_ibl_is: bool
+    use_fused: bool = False
 
 
 def static_dev_from_config(config: StaticConfig) -> Dict:
@@ -65,6 +66,7 @@ def static_params_from_config(config: StaticConfig) -> Dict:
         "sky_mode": config.sky_mode,
         "has_directional_light": config.has_directional_light,
         "use_ibl_is": config.use_ibl_is,
+        "use_fused": config.use_fused,
     }
 
 
@@ -151,6 +153,10 @@ class Renderer:
         self.dense_threshold = 1024
         # fused Pallas intersection kernels (TPU); jnp fallback for CPU tests
         self.use_pallas = jax.default_backend() != "cpu"
+        # fused bounce-megakernel pipeline (fused/pt_fused.py) on the
+        # supported static envelope; set False to force the reference
+        # wavefront integrator
+        self.use_fused = True
 
 
         self.init_render_states()
@@ -331,6 +337,18 @@ class Renderer:
                 self.sky_mode == self.SKY_IBL
                 and self.ibl_importance_sampling
                 and self._ibl_dist is not None
+            ),
+            # fused megakernel pipeline envelope (fused/pt_fused.py):
+            # untextured, no alpha, constant/Hosek sky, few area lights
+            use_fused=(
+                self.use_fused
+                and not ss["any_textures"]
+                and not ss["has_alpha"]
+                and not ss["any_heightmap"]
+                and not ss["any_normalmap"]
+                and self.sky_mode in (self.SKY_CONSTANT, self.SKY_HOSEK)
+                and self._dev["n_lights"] <= 16
+                and (self.width * self.height) % 128 == 0
             ),
         )
 
