@@ -1,11 +1,19 @@
-"""Benchmark: Cornell-box progressive path trace on one chip.
+"""Benchmarks: progressive path tracing on one chip (+ optional sharded).
 
-Prints ONE JSON line:
+Prints one JSON line PER metric (primary first):
   {"metric": ..., "value": N, "unit": "Mpath-vertices/s", "vs_baseline": N}
 
-The metric counts shaded path vertices (surface interactions) per second,
-matching BASELINE.json's north-star unit (>= 100 Mpath-vertices/s/chip).
-`--smoke` runs a tiny config for CI-style validation.
+1. cornell-box 512x512 @16spp depth5 — the primary metric, counts shaded
+   path vertices per second against BASELINE.json's north star
+   (100 Mpath-vertices/s/chip).
+2. hosek-sweep ~100k-tri metalness sweep under Hosek sky + sun — the
+   larger-scene operating point (clustered traversal path).
+3. cornell-box 1920x1080 @16spp depth5 — the reference contest operating
+   point (rtcamp8.cpp:49-64).
+
+`--smoke` runs a tiny config; `--sharded` runs the pixel-sharded
+shard_map path on a real-device mesh (proves collectives compile on the
+TPU backend, VERDICT.md round-1 item 4); `--only N` runs one metric.
 """
 
 import argparse
@@ -19,20 +27,177 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MPVS = 100.0  # north star from BASELINE.json (v5p-8 per chip)
 
 
+def _sweep_scene(n_tris_target=100_000):
+    """Metalness sweep under Hosek sky: ~100k triangles (showcase scene)."""
+    import numpy as np
+
+    from fredholm_tpu.scene.procedural import sphere_array_test
+    from fredholm_tpu.scene.types import Material
+
+    base = Material(base_color=(0.9, 0.6, 0.3), specular_roughness=0.25)
+    # 12 spheres x 64x64 sphere grid x 2 tris + floor ~= 98k tris
+    import fredholm_tpu.scene.procedural as proc
+
+    values = list(np.linspace(0.0, 1.0, 12))
+    import dataclasses as dc
+
+    materials = []
+    parts = []
+    n = len(values)
+    spacing = 1.1
+    for i, val in enumerate(values):
+        m = dc.replace(base)
+        m.metalness = val
+        materials.append(m)
+        cx = (i - (n - 1) / 2.0) * spacing
+        v, nn, t, f = proc.uv_sphere([cx, 0.45, 0.0], 0.45, n_theta=64,
+                                     n_phi=64)
+        parts.append((v, nn, t, f, np.full((len(f),), i, np.int32)))
+    materials.append(Material(base_color=(0.5, 0.5, 0.5), specular=0.0))
+    s = n * spacing
+    v, nn, t, f = proc._quad([-s, 0, -s], [-s, 0, s], [s, 0, s], [s, 0, -s])
+    parts.append((v, nn, t, f, np.full((len(f),), n, np.int32)))
+    verts, norms, uvs, idxs, mids = proc._merge_mesh(
+        [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts],
+        [p[3] for p in parts], [p[4] for p in parts],
+    )
+    from fredholm_tpu.scene.types import Scene
+
+    n_faces = len(idxs)
+    return Scene(
+        vertices=verts, normals=norms, texcoords=uvs, indices=idxs,
+        material_ids=mids,
+        instance_ids=np.zeros((n_faces,), np.int32),
+        materials=materials,
+        transforms=np.eye(4, dtype=np.float32)[None],
+        submesh_offsets=[0], submesh_n_faces=[n_faces],
+    )
+
+
+def _timed_render(r, spp, max_depth):
+    import numpy as np
+
+    r.render(n_samples=1, max_depth=max_depth)  # warmup/compile
+    v0 = float(np.asarray(r.layers["n_path_vertices"]))
+    t0 = time.time()
+    r.render(n_samples=spp, max_depth=max_depth)
+    v1 = float(np.asarray(r.layers["n_path_vertices"]))  # forces sync
+    dt = time.time() - t0
+    beauty = np.asarray(r.layers["beauty"])
+    assert np.isfinite(beauty).all(), "non-finite radiance"
+    return (v1 - v0) / dt / 1e6
+
+
+def _emit(name, mpvs):
+    print(
+        json.dumps(
+            {
+                "metric": name,
+                "value": round(mpvs, 3),
+                "unit": "Mpath-vertices/s",
+                "vs_baseline": round(mpvs / BASELINE_MPVS, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _bench_cornell(width, height, spp, max_depth, out=""):
+    import numpy as np
+
+    from fredholm_tpu.renderer import Renderer
+    from fredholm_tpu.scene.procedural import cornell_box
+
+    r = Renderer(width=width, height=height)
+    r.set_scene(cornell_box())
+    # the effective eye sits f~1 behind the origin (camera.cu:14-16), so
+    # origin z=0.6 puts the eye just inside the opening cone: every primary
+    # ray hits geometry
+    r.camera.origin = np.asarray([0.0, 1.0, 0.6], np.float32)
+    r.camera._update_transform()
+    mpvs = _timed_render(r, spp, max_depth)
+    if out:
+        from fredholm_tpu.utils.image import write_png
+
+        write_png(out, np.clip(r.get_layer("beauty"), 0, 1) ** (1 / 2.2))
+    return mpvs
+
+
+def _bench_sweep(width, height, spp, max_depth):
+    import numpy as np
+
+    from fredholm_tpu.renderer import Renderer
+
+    r = Renderer(width=width, height=height)
+    r.set_scene(_sweep_scene())
+    r.camera.origin = np.asarray([0.0, 2.0, 8.0], np.float32)
+    r.camera.look_around(0.0, 0.0)
+    r.camera._update_transform()
+    r.set_directional_light([2.0, 1.9, 1.8], [0.35, 0.75, 0.3], angle=0.5)
+    r.load_arhosek_sky(turbidity=3.0, albedo=0.3)
+    return _timed_render(r, spp, max_depth)
+
+
+def _bench_sharded(width, height, spp, max_depth):
+    """Pixel-sharded render over all visible real devices (1-device mesh on
+    the single dev chip — proves shard_map+psum compile/run on the TPU)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fredholm_tpu.parallel.sharding import (
+        make_mesh,
+        render_progressive_sharded,
+    )
+    from fredholm_tpu.renderer import Renderer
+    from fredholm_tpu.scene.procedural import cornell_box
+
+    n_dev = len(jax.devices())
+    while height % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(n_dev)
+
+    r = Renderer(width=width, height=height)
+    r.set_scene(cornell_box())
+    r.camera.origin = np.asarray([0.0, 1.0, 0.6], np.float32)
+    r.camera._update_transform()
+    dev, static_params, dynamic = r.sharding_inputs(max_depth=max_depth)
+
+    def shard_leaf(leaf):
+        spec = P("tiles") if getattr(leaf, "ndim", 0) > 0 else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    layers = jax.tree.map(shard_leaf, r.layers)
+    count = jax.device_put(r.sample_count, NamedSharding(mesh, P("tiles")))
+
+    # warmup
+    layers, count = render_progressive_sharded(
+        mesh, dev, static_params, dynamic, layers, count, 1
+    )
+    v0 = float(np.asarray(layers["n_path_vertices"]))
+    t0 = time.time()
+    layers, count = render_progressive_sharded(
+        mesh, dev, static_params, dynamic, layers, count, spp
+    )
+    v1 = float(np.asarray(layers["n_path_vertices"]))
+    dt = time.time() - t0
+    beauty = np.asarray(layers["beauty"])
+    assert np.isfinite(beauty).all(), "non-finite radiance (sharded)"
+    return (v1 - v0) / dt / 1e6, n_dev
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--width", type=int, default=512)
-    ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--max-depth", type=int, default=5)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--sharded", action="store_true")
+    ap.add_argument(
+        "--only", type=int, default=0,
+        help="run just metric N (1=cornell, 2=sweep, 3=1080p)",
+    )
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
-
-    if args.smoke:
-        args.width = args.height = 64
-        args.spp = 2
-        args.max_depth = 3
 
     import jax
 
@@ -40,50 +205,43 @@ def main() -> None:
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
 
-    import numpy as np
+    if args.smoke:
+        mpvs = _bench_cornell(64, 64, 2, 3, out=args.out)
+        _emit("cornell-box 64x64 @2spp depth3 single-chip path tracing",
+              mpvs)
+        return
 
-    from fredholm_tpu.renderer import Renderer
-    from fredholm_tpu.scene.procedural import cornell_box
-
-    r = Renderer(width=args.width, height=args.height)
-    r.set_scene(cornell_box())
-    # the effective eye sits f~1 behind the origin (camera.cu:14-16), so
-    # origin z=0.6 puts the eye just inside the opening cone: every primary
-    # ray hits geometry
-    r.camera.origin = np.asarray([0.0, 1.0, 0.6], np.float32)
-    r.camera._update_transform()
-
-    # warmup / compile
-    r.render(n_samples=1, max_depth=args.max_depth)
-    v0 = float(np.asarray(r.layers["n_path_vertices"]))
-
-    t0 = time.time()
-    r.render(n_samples=args.spp, max_depth=args.max_depth)
-    v1 = float(np.asarray(r.layers["n_path_vertices"]))  # forces sync
-    dt = time.time() - t0
-
-    beauty = np.asarray(r.layers["beauty"])
-    assert np.isfinite(beauty).all(), "non-finite radiance"
-
-    mpvs = (v1 - v0) / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"cornell-box {args.width}x{args.height} @{args.spp}spp "
-                    f"depth{args.max_depth} single-chip path tracing"
-                ),
-                "value": round(mpvs, 3),
-                "unit": "Mpath-vertices/s",
-                "vs_baseline": round(mpvs / BASELINE_MPVS, 4),
-            }
+    if args.sharded:
+        mpvs, n_dev = _bench_sharded(512, 512, args.spp, args.max_depth)
+        _emit(
+            f"cornell-box 512x512 @{args.spp}spp depth{args.max_depth} "
+            f"pixel-sharded over {n_dev}-device mesh",
+            mpvs,
         )
-    )
+        return
 
-    if args.out:
-        from fredholm_tpu.utils.image import write_png
-
-        write_png(args.out, np.clip(r.get_layer("beauty"), 0, 1) ** (1 / 2.2))
+    if args.only in (0, 1):
+        mpvs = _bench_cornell(512, 512, args.spp, args.max_depth,
+                              out=args.out)
+        _emit(
+            f"cornell-box 512x512 @{args.spp}spp depth{args.max_depth} "
+            f"single-chip path tracing",
+            mpvs,
+        )
+    if args.only in (0, 2):
+        mpvs = _bench_sweep(512, 288, 8, args.max_depth)
+        _emit(
+            f"hosek-sweep ~100k-tris 512x288 @8spp depth{args.max_depth} "
+            f"single-chip path tracing",
+            mpvs,
+        )
+    if args.only in (0, 3):
+        mpvs = _bench_cornell(1920, 1080, args.spp, args.max_depth)
+        _emit(
+            f"cornell-box 1920x1080 @{args.spp}spp depth{args.max_depth} "
+            f"single-chip path tracing (contest operating point)",
+            mpvs,
+        )
 
 
 if __name__ == "__main__":

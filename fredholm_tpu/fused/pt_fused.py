@@ -73,11 +73,16 @@ SKY_HOSEK = 2
 # fused face-attribute table: ONE one-hot gather fetches geometry + material
 # + emission for a hit (replaces ~20 separate gathers in integrator/pt.py)
 
-_COL_NAMES: List[Tuple[str, int]] = [
+# geometry table: gathered by PRIM via the (large) [2N, F] one-hot matmul
+_GEOM_COL_NAMES: List[Tuple[str, int]] = [
     ("v0", 3), ("v1", 3), ("v2", 3),
     ("n0", 3), ("n1", 3), ("n2", 3),
     ("uv0", 2), ("uv1", 2), ("uv2", 2),
-    ("area", 1),
+    ("area", 1), ("mat_id", 1),
+]
+# material table: gathered by MAT_ID via a tiny [2N, M] one-hot matmul —
+# splitting halves the big matmul's width (was ~35% of per-bounce cost)
+_MAT_COL_NAMES: List[Tuple[str, int]] = [
     ("emission_color", 3), ("has_emission", 1),
     ("base_color", 3), ("diffuse", 1), ("diffuse_roughness", 1),
     ("specular", 1), ("specular_color", 3), ("specular_roughness", 1),
@@ -88,36 +93,36 @@ _COL_NAMES: List[Tuple[str, int]] = [
 ]
 COL = {}
 _off = 0
-for _name, _w in _COL_NAMES:
+for _name, _w in _GEOM_COL_NAMES:
+    COL[_name] = _off
+    _off += _w
+GEOM_COLS_USED = _off
+GEOM_COLS = 32  # padded
+assert GEOM_COLS_USED <= GEOM_COLS
+_off = GEOM_COLS
+for _name, _w in _MAT_COL_NAMES:
     COL[_name] = _off
     _off += _w
 N_COLS = _off
-FUSED_COLS = 64  # padded (lane-aligned for the transposed gather)
-assert N_COLS <= FUSED_COLS
+MAT_COLS = N_COLS - GEOM_COLS
 
 
 def build_fused_table(dev: Dict) -> np.ndarray:
-    """[F, FUSED_COLS] float32 join of face geometry + material params.
+    """[F, GEOM_COLS] float32 per-face geometry table (+ mat_id).
 
     Built host-side at scene upload (scene/device.py); the per-hit
-    attribute fetch is then ONE one-hot matmul instead of many."""
+    geometry fetch is then ONE one-hot matmul instead of many."""
     fv = np.asarray(dev["face_verts"])  # [F,3,3]
     fn = np.asarray(dev["face_normals"])
     fuv = np.asarray(dev["face_uvs"])
     mat_ids = np.asarray(dev["face_mat"])
-    m = {k: np.asarray(v) for k, v in dev["materials"].items()}
     f = fv.shape[0]
 
     e1 = fv[:, 1] - fv[:, 0]
     e2 = fv[:, 2] - fv[:, 0]
     area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
 
-    ec = m["emission_color"][mat_ids]
-    has_em = (
-        (ec > 0.0).any(-1) | (m["emission_texture_id"][mat_ids] >= 0)
-    ).astype(np.float32)
-
-    out = np.zeros((f, FUSED_COLS), np.float32)
+    out = np.zeros((f, GEOM_COLS), np.float32)
 
     def put(name, vals):
         vals = np.asarray(vals, np.float32).reshape(f, -1)
@@ -127,6 +132,26 @@ def build_fused_table(dev: Dict) -> np.ndarray:
     put("n0", fn[:, 0]); put("n1", fn[:, 1]); put("n2", fn[:, 2])
     put("uv0", fuv[:, 0]); put("uv1", fuv[:, 1]); put("uv2", fuv[:, 2])
     put("area", area)
+    put("mat_id", mat_ids)
+    return out
+
+
+def build_fused_mat_table(dev: Dict) -> np.ndarray:
+    """[M, MAT_COLS] float32 per-material shading params + emission."""
+    m = {k: np.asarray(v) for k, v in dev["materials"].items()}
+    n_m = m["base_color"].shape[0]
+    ec = m["emission_color"]
+    has_em = (
+        (ec > 0.0).any(-1) | (m["emission_texture_id"] >= 0)
+    ).astype(np.float32)
+
+    out = np.zeros((n_m, MAT_COLS), np.float32)
+
+    def put(name, vals):
+        vals = np.asarray(vals, np.float32).reshape(n_m, -1)
+        c = COL[name] - GEOM_COLS
+        out[:, c:c + vals.shape[1]] = vals
+
     put("emission_color", ec)
     put("has_emission", has_em)
     for name in (
@@ -136,7 +161,7 @@ def build_fused_table(dev: Dict) -> np.ndarray:
         "sheen", "sheen_color", "sheen_roughness", "subsurface",
         "subsurface_color", "thin_walled",
     ):
-        put(name, m[name][mat_ids])
+        put(name, m[name])
     return out
 
 
@@ -803,10 +828,19 @@ def _concat_rays(ray_list):
 
 
 def _gather_attrs(dev, prim):
-    table = dev["fused_table"]  # [F, FUSED_COLS]
+    """Two-stage fetch: geometry by prim, then material params by the
+    fetched mat_id (a one-hot matmul over M << F materials)."""
+    table = dev["fused_table"]  # [F, GEOM_COLS]
     p = jnp.clip(prim, 0, table.shape[0] - 1)
-    out = gather_rows(table, p, dev.get("use_dense", False))  # [M, C]
-    return {c: out[:, c] for c in range(N_COLS)}
+    geom = gather_rows(table, p, dev.get("use_dense", False))
+    attrs = {c: geom[:, c] for c in range(GEOM_COLS_USED)}
+    mat_table = dev["fused_mat_table"]  # [M, MAT_COLS]
+    mid = jnp.round(geom[:, COL["mat_id"]]).astype(jnp.int32)
+    mid = jnp.clip(mid, 0, mat_table.shape[0] - 1)
+    mat = gather_rows(mat_table, mid, True)
+    for c in range(MAT_COLS):
+        attrs[GEOM_COLS + c] = mat[:, c]
+    return attrs
 
 
 def _make_resolve(cfg, dev, hit_all, blocks, n, prev_rays, prev_pending):

@@ -19,7 +19,8 @@ anyway (controller.cpp:205-230).
 
 from __future__ import annotations
 
-from typing import Dict
+import functools
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +83,37 @@ def render_progressive_sharded(
 
     dev, static_dev = _split_static_dev(dev)
 
+    layer_ndims = tuple(
+        sorted((k, getattr(v, "ndim", 0)) for k, v in layers.items())
+    )
+    step = _build_sharded_step(
+        mesh,
+        axis,
+        tile_h,
+        tuple(sorted(static_dev.items())),
+        tuple(sorted(static_params.items())),
+        layer_ndims,
+    )
+    for _ in range(n_samples):
+        layers, sample_count = step(layers, sample_count, dev, dynamic_params)
+    return layers, sample_count
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_step(
+    mesh: Mesh,
+    axis: str,
+    tile_h: int,
+    static_dev_t: Tuple,
+    static_params_t: Tuple,
+    layer_ndims: Tuple,
+):
+    """Build + cache ONE jitted 1-spp shard_map step per static signature —
+    the host spp loop (and repeated calls, e.g. a progressive viewer or
+    bench) must reuse the compiled executable, not retrace per call."""
+    static_dev = dict(static_dev_t)
+    static_params = dict(static_params_t)
+
     def tile_fn(layers_t, count_t, dev_r, dyn_r):
         idx = jax.lax.axis_index(axis)
         dev_r = {**dev_r, **static_dev}
@@ -98,12 +130,11 @@ def render_progressive_sharded(
         )
         return new_layers, new_count
 
-    def spec_of(leaf):
-        return P(axis) if getattr(leaf, "ndim", 0) > 0 else P()
+    layer_specs = {
+        k: P(axis) if ndim > 0 else P() for k, ndim in layer_ndims
+    }
 
-    layer_specs = jax.tree.map(spec_of, layers)
-
-    step = jax.jit(
+    return jax.jit(
         shard_map(
             tile_fn,
             mesh=mesh,
@@ -112,9 +143,6 @@ def render_progressive_sharded(
             check_vma=False,
         )
     )
-    for _ in range(n_samples):
-        layers, sample_count = step(layers, sample_count, dev, dynamic_params)
-    return layers, sample_count
 
 
 def render_spp_sharded(

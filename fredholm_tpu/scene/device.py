@@ -103,9 +103,14 @@ def build_device_scene(scene: Scene) -> Dict:
     }
     # fused-megakernel tables: ONE joined face-attribute table (geometry +
     # material + emission) and the small area-light table (fused/pt_fused.py)
-    from ..fused.pt_fused import build_fused_table, build_light_table
+    from ..fused.pt_fused import (
+        build_fused_mat_table,
+        build_fused_table,
+        build_light_table,
+    )
 
     dev["fused_table"] = jnp.asarray(build_fused_table(dev))
+    dev["fused_mat_table"] = jnp.asarray(build_fused_mat_table(dev))
     dev["light_table"] = jnp.asarray(build_light_table(dev))
     # host-side handles for animation refresh
     dev["_host"] = {"scene": scene, "bvh": bvh}
@@ -149,8 +154,13 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
             axis=1,
         ).astype(np.float32)
     )
-    from ..fused.pt_fused import build_fused_table, build_light_table
+    from ..fused.pt_fused import (
+        build_fused_mat_table,
+        build_fused_table,
+        build_light_table,
+    )
 
     new["fused_table"] = jnp.asarray(build_fused_table(new))
+    new["fused_mat_table"] = jnp.asarray(build_fused_mat_table(new))
     new["light_table"] = jnp.asarray(build_light_table(new))
     return new
