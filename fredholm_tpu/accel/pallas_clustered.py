@@ -113,64 +113,73 @@ def _make_kernel(n_clusters: int, any_hit: bool):
                aabbs_ref, counts_ref, blocks_hbm,
                t_out, prim_out, u_out, v_out,
                best_t, best_prim, best_u, best_v, smem, sem):
-        ox = ox_ref[:]
-        oy = oy_ref[:]
-        oz = oz_ref[:]
-        dx = dx_ref[:]
-        dy = dy_ref[:]
-        dz = dz_ref[:]
+        tmax = tmax_ref[:]
+        alive = tmax > 0.0
 
-        eps = 1e-12
-        inv_dx = 1.0 / jnp.where(jnp.abs(dx) < eps, jnp.where(dx < 0, -eps, eps), dx)
-        inv_dy = 1.0 / jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
-        inv_dz = 1.0 / jnp.where(jnp.abs(dz) < eps, jnp.where(dz < 0, -eps, eps), dz)
+        best_t[:] = tmax
+        best_prim[:] = jnp.full(tmax.shape, -1.0, jnp.float32)
+        best_u[:] = jnp.zeros(tmax.shape, jnp.float32)
+        best_v[:] = jnp.zeros(tmax.shape, jnp.float32)
 
-        best_t[:] = tmax_ref[:]
-        best_prim[:] = jnp.full(ox.shape, -1.0, jnp.float32)
-        best_u[:] = jnp.zeros(ox.shape, jnp.float32)
-        best_v[:] = jnp.zeros(ox.shape, jnp.float32)
+        # wavefront compaction, TPU form: dead lanes (tmax < 0, from RR
+        # kills / misses) are pixel-coherent, so tiles go dead together —
+        # skip the whole cluster sweep when no lane is alive
+        @pl.when(jnp.any(alive))
+        def _sweep():
+            ox = ox_ref[:]
+            oy = oy_ref[:]
+            oz = oz_ref[:]
+            dx = dx_ref[:]
+            dy = dy_ref[:]
+            dz = dz_ref[:]
 
-        def cluster_body(c, _):
-            box_hit = _slab_test(
-                c, aabbs_ref, ox, oy, oz, inv_dx, inv_dy, inv_dz, best_t[:]
-            )
-            if any_hit:
-                # lanes already occluded need no more work
-                box_hit = box_hit & (best_prim[:] < 0.0)
+            eps = 1e-12
+            inv_dx = 1.0 / jnp.where(jnp.abs(dx) < eps, jnp.where(dx < 0, -eps, eps), dx)
+            inv_dy = 1.0 / jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
+            inv_dz = 1.0 / jnp.where(jnp.abs(dz) < eps, jnp.where(dz < 0, -eps, eps), dz)
 
-            @pl.when(jnp.any(box_hit))
-            def _():
-                dma = pltpu.make_async_copy(
-                    blocks_hbm.at[:, pl.ds(c * CLUSTER_SIZE, CLUSTER_SIZE)],
-                    smem,
-                    sem,
+            def cluster_body(c, _):
+                box_hit = alive & _slab_test(
+                    c, aabbs_ref, ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                    best_t[:],
                 )
-                dma.start()
-                dma.wait()
-                count = counts_ref[c]
+                if any_hit:
+                    # lanes already occluded need no more work
+                    box_hit = box_hit & (best_prim[:] < 0.0)
 
-                def tri_body(i, _):
-                    t, u, v, valid = _mt_scalar(smem, i, ox, oy, oz, dx, dy, dz)
-                    improved = valid & (t < best_t[:])
-                    if any_hit:
-                        hit_any = improved
-                        best_prim[:] = jnp.where(
-                            hit_any, smem[9, i], best_prim[:]
-                        )
-                    else:
-                        best_prim[:] = jnp.where(
-                            improved, smem[9, i], best_prim[:]
-                        )
-                        best_u[:] = jnp.where(improved, u, best_u[:])
-                        best_v[:] = jnp.where(improved, v, best_v[:])
-                        best_t[:] = jnp.where(improved, t, best_t[:])
-                    return 0
+                @pl.when(jnp.any(box_hit))
+                def _():
+                    dma = pltpu.make_async_copy(
+                        blocks_hbm.at[:, pl.ds(c * CLUSTER_SIZE, CLUSTER_SIZE)],
+                        smem,
+                        sem,
+                    )
+                    dma.start()
+                    dma.wait()
+                    count = counts_ref[c]
 
-                jax.lax.fori_loop(0, count, tri_body, 0)
+                    def tri_body(i, _):
+                        t, u, v, valid = _mt_scalar(smem, i, ox, oy, oz, dx, dy, dz)
+                        improved = valid & (t < best_t[:])
+                        if any_hit:
+                            hit_any = improved
+                            best_prim[:] = jnp.where(
+                                hit_any, smem[9, i], best_prim[:]
+                            )
+                        else:
+                            best_prim[:] = jnp.where(
+                                improved, smem[9, i], best_prim[:]
+                            )
+                            best_u[:] = jnp.where(improved, u, best_u[:])
+                            best_v[:] = jnp.where(improved, v, best_v[:])
+                            best_t[:] = jnp.where(improved, t, best_t[:])
+                        return 0
 
-            return 0
+                    jax.lax.fori_loop(0, count, tri_body, 0)
 
-        jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+                return 0
+
+            jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
 
         t_out[:] = best_t[:]
         prim_out[:] = best_prim[:].astype(jnp.int32)

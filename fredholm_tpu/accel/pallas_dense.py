@@ -94,58 +94,74 @@ def _closest_kernel(n_tris: int, o_ref, d_ref, tmax_ref, *rest):
     tri = dict(zip(_TRI_KEYS, rest[:9]))
     t_out, prim_out, u_out, v_out = rest[9:13]
 
-    ox = o_ref[0]  # [SUBLANES, 128]
-    oy = o_ref[1]
-    oz = o_ref[2]
-    dx = d_ref[0]
-    dy = d_ref[1]
-    dz = d_ref[2]
+    tmax = tmax_ref[:]
+    t_out[:] = tmax
+    prim_out[:] = jnp.full(tmax.shape, -1, jnp.int32)
+    u_out[:] = jnp.zeros_like(tmax)
+    v_out[:] = jnp.zeros_like(tmax)
 
-    best_t = tmax_ref[:]
-    best_prim = jnp.full(best_t.shape, -1.0, jnp.float32)
-    best_u = jnp.zeros_like(best_t)
-    best_v = jnp.zeros_like(best_t)
+    # wavefront compaction, TPU form: dead lanes carry tmax < 0 and are
+    # pixel-coherent (RR kills / misses cluster in screen space), so whole
+    # ray tiles go dead together — skip the entire triangle sweep for them
+    @pl.when(jnp.any(tmax > 0.0))
+    def _():
+        ox = o_ref[0]  # [SUBLANES, 128]
+        oy = o_ref[1]
+        oz = o_ref[2]
+        dx = d_ref[0]
+        dy = d_ref[1]
+        dz = d_ref[2]
 
-    def body(s, carry):
-        best_t, best_prim, best_u, best_v = carry
-        t, u, v, valid = _mt_one(tri, s, ox, oy, oz, dx, dy, dz)
-        improved = valid & (t < best_t)
-        best_t = jnp.where(improved, t, best_t)
-        best_prim = jnp.where(improved, s.astype(jnp.float32), best_prim)
-        best_u = jnp.where(improved, u, best_u)
-        best_v = jnp.where(improved, v, best_v)
-        return best_t, best_prim, best_u, best_v
+        best_t = tmax
+        best_prim = jnp.full(best_t.shape, -1.0, jnp.float32)
+        best_u = jnp.zeros_like(best_t)
+        best_v = jnp.zeros_like(best_t)
 
-    best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
-        0, n_tris, body, (best_t, best_prim, best_u, best_v)
-    )
-    t_out[:] = best_t
-    prim_out[:] = best_prim.astype(jnp.int32)
-    u_out[:] = best_u
-    v_out[:] = best_v
+        def body(s, carry):
+            best_t, best_prim, best_u, best_v = carry
+            t, u, v, valid = _mt_one(tri, s, ox, oy, oz, dx, dy, dz)
+            improved = valid & (t < best_t)
+            best_t = jnp.where(improved, t, best_t)
+            best_prim = jnp.where(improved, s.astype(jnp.float32), best_prim)
+            best_u = jnp.where(improved, u, best_u)
+            best_v = jnp.where(improved, v, best_v)
+            return best_t, best_prim, best_u, best_v
+
+        best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
+            0, n_tris, body, (best_t, best_prim, best_u, best_v)
+        )
+        t_out[:] = best_t
+        prim_out[:] = best_prim.astype(jnp.int32)
+        u_out[:] = best_u
+        v_out[:] = best_v
 
 
 def _any_kernel(n_tris: int, o_ref, d_ref, tmax_ref, *rest):
     tri = dict(zip(_TRI_KEYS, rest[:9]))
     occ_out = rest[9]
 
-    ox = o_ref[0]
-    oy = o_ref[1]
-    oz = o_ref[2]
-    dx = d_ref[0]
-    dy = d_ref[1]
-    dz = d_ref[2]
     tlim = tmax_ref[:]
+    occ_out[:] = jnp.zeros(tlim.shape, jnp.bool_)
 
-    # NOTE: bool [8,128] carries crash the mosaic scf lowering; carry f32
-    def body(s, occ):
-        t, _, _, valid = _mt_one(tri, s, ox, oy, oz, dx, dy, dz)
-        return jnp.maximum(occ, (valid & (t < tlim)).astype(jnp.float32))
+    # skip all-dead ray tiles (see _closest_kernel)
+    @pl.when(jnp.any(tlim > 0.0))
+    def _():
+        ox = o_ref[0]
+        oy = o_ref[1]
+        oz = o_ref[2]
+        dx = d_ref[0]
+        dy = d_ref[1]
+        dz = d_ref[2]
 
-    occ = jax.lax.fori_loop(
-        0, n_tris, body, jnp.zeros_like(tlim)
-    )
-    occ_out[:] = occ > 0.0
+        # NOTE: bool [8,128] carries crash the mosaic scf lowering; carry f32
+        def body(s, occ):
+            t, _, _, valid = _mt_one(tri, s, ox, oy, oz, dx, dy, dz)
+            return jnp.maximum(occ, (valid & (t < tlim)).astype(jnp.float32))
+
+        occ = jax.lax.fori_loop(
+            0, n_tris, body, jnp.zeros_like(tlim)
+        )
+        occ_out[:] = occ > 0.0
 
 
 def _ray_tiles(o, d, t_max, n_pad):

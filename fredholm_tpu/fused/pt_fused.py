@@ -979,4 +979,5 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
         ),
         "albedo": to_stacked(aovs["albedo"]),
         "n_path_vertices": jnp.sum(state["nv"]),
+        "n_lane_slots": jnp.float32(n * cfg.max_depth),
     }

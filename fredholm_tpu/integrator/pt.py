@@ -498,7 +498,8 @@ def render_sample(dev: Dict, params: Dict, n_spp):
     image_idx = px + np.uint32(width) * py
 
     smp = init_sampler_state(
-        image_idx, n_spp, width * height, params["seed"]
+        image_idx, n_spp, width * height, params["seed"],
+        mode=params.get("sampler_mode", "sobol_cmj"), width=width,
     )
 
     # camera ray (pt.cu:437-446)
@@ -817,6 +818,10 @@ def render_sample(dev: Dict, params: Dict, n_spp):
         "texcoord": state["texcoord_aov"],
         "albedo": state["albedo"],
         "n_path_vertices": state["n_path_vertices"],
+        # lane-bounce slots actually executed: occupancy is
+        # n_path_vertices / n_lane_slots (dead lanes ride along in every
+        # stage of a wavefront bounce — this quantifies the waste)
+        "n_lane_slots": state["depth"].astype(jnp.float32) * np.float32(n),
     }
 
 
@@ -859,6 +864,7 @@ def render_progressive(dev, params, layers, sample_count, n_samples: int):
             "albedo": avg(layers["albedo"], out["albedo"], True),
             "n_path_vertices": layers["n_path_vertices"]
             + out["n_path_vertices"],
+            "n_lane_slots": layers["n_lane_slots"] + out["n_lane_slots"],
         }
         sample_count = sample_count + jnp.uint32(1)
     return layers, sample_count
@@ -875,4 +881,7 @@ def make_layers(n: int):
         "albedo": z3,
         # lifetime count of shaded path vertices (for perf accounting)
         "n_path_vertices": jnp.zeros((), jnp.float32),
+        # lifetime count of executed lane-bounce slots; lane occupancy
+        # (the wavefront-compaction health metric) = n_path_vertices / this
+        "n_lane_slots": jnp.zeros((), jnp.float32),
     }

@@ -124,10 +124,9 @@ def _build_sharded_step(
         new_layers, new_count = render_progressive(
             dev_r, p, layers_t, count_t, 1
         )
-        # per-shard vertex counters join into the global count
-        new_layers["n_path_vertices"] = jax.lax.psum(
-            new_layers["n_path_vertices"], axis
-        )
+        # per-shard perf counters join into the global count
+        for counter in ("n_path_vertices", "n_lane_slots"):
+            new_layers[counter] = jax.lax.psum(new_layers[counter], axis)
         return new_layers, new_count
 
     layer_specs = {
@@ -191,14 +190,14 @@ def render_spp_sharded(
         # sum, psum, and divide by the global total
         scale = (idx * n_per_device + n_per_device).astype(jnp.float32)
         total_n = float(n_dev * n_per_device)
+        counters = ("n_path_vertices", "n_lane_slots")
         merged = {
             k: jax.lax.psum(v * scale, axis) / total_n
             for k, v in layers.items()
-            if k != "n_path_vertices"
+            if k not in counters
         }
-        merged["n_path_vertices"] = jax.lax.psum(
-            layers["n_path_vertices"], axis
-        )
+        for counter in counters:
+            merged[counter] = jax.lax.psum(layers[counter], axis)
         total = jnp.full(
             (width * height,), n_dev * n_per_device, jnp.uint32
         )

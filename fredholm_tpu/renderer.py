@@ -48,6 +48,7 @@ class StaticConfig:
     use_clustered: bool
     use_ibl_is: bool
     use_fused: bool = False
+    sampler_mode: str = "sobol_cmj"
 
 
 def static_dev_from_config(config: StaticConfig) -> Dict:
@@ -67,6 +68,7 @@ def static_params_from_config(config: StaticConfig) -> Dict:
         "has_directional_light": config.has_directional_light,
         "use_ibl_is": config.use_ibl_is,
         "use_fused": config.use_fused,
+        "sampler_mode": config.sampler_mode,
     }
 
 
@@ -157,6 +159,10 @@ class Renderer:
         # supported static envelope; set False to force the reference
         # wavefront integrator
         self.use_fused = True
+        # "sobol_cmj" (reference draw distribution, sampling.cu:19-45) or
+        # "bluenoise" (screen-space blue-noise dithered Owen-Sobol,
+        # blue-noise.cu made selectable for real)
+        self.sampler_mode = "sobol_cmj"
 
 
         self.init_render_states()
@@ -342,6 +348,7 @@ class Renderer:
             # untextured, no alpha, constant/Hosek sky, few area lights
             use_fused=(
                 self.use_fused
+                and self.sampler_mode == "sobol_cmj"
                 and not ss["any_textures"]
                 and not ss["has_alpha"]
                 and not ss["any_heightmap"]
@@ -350,6 +357,7 @@ class Renderer:
                 and self._dev["n_lights"] <= 16
                 and (self.width * self.height) % 128 == 0
             ),
+            sampler_mode=self.sampler_mode,
         )
 
     def sharding_inputs(self, max_depth: int, use_pallas: Optional[bool] = None):

@@ -225,3 +225,79 @@ class TestMappings:
         w = jnp.zeros((4, 5))
         idx, pmf = mappings.discrete_sample_cdf(w, jnp.full((4,), 0.3))
         assert (np.asarray(idx) == 4).all()
+
+
+class TestBlueNoiseMode:
+    """Blue-noise dithered sampler mode (blue-noise.cu made selectable)."""
+
+    def _state(self, n=64, width=8, spp=0, seed=42):
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        return sampler.init_sampler_state(
+            idx, jnp.full((n,), spp, jnp.uint32), n, seed,
+            mode=sampler.MODE_BLUENOISE, width=width,
+        )
+
+    def test_mode_adds_shift_key(self):
+        st = self._state()
+        assert "bn_shift" in st
+        s = np.asarray(st["bn_shift"])
+        assert s.min() >= 0.0 and s.max() < 1.0
+        u, st2 = sampler.sample_1d(st)
+        assert u.shape == (64,)
+        assert int(st2["sobol_dim"]) == 2
+
+    def test_per_pixel_stratification_preserved(self):
+        # toroidal CP rotation keeps each pixel's spp-sequence equidistributed:
+        # 16 successive samples of one pixel land in 16 distinct 1/16 cells
+        us = []
+        for s in range(16):
+            st = self._state(n=4, width=2, spp=s)
+            u, _ = sampler.sample_1d(st)
+            us.append(np.asarray(u)[3])
+        cells = np.floor(np.asarray(us) * 16).astype(int)
+        assert len(set(cells.tolist())) == 16, cells
+
+    def test_screen_space_error_is_blue(self):
+        # Monte-Carlo error of a smooth integrand at 1 spp must have
+        # strongly suppressed low frequencies across the screen (the
+        # dithered-QMC estimator is periodic in the CP rotation, so the
+        # error field inherits the ranking tile's blue spectrum)
+        n = 128 * 128
+        st = self._state(n=n, width=128)
+        u, _ = sampler.sample_1d(st)
+        err = np.sin(2 * np.pi * np.asarray(u)).reshape(128, 128)
+        f = np.fft.fftshift(np.abs(np.fft.fft2(err - err.mean())))
+        yy, xx = np.mgrid[:128, :128]
+        rad = np.hypot(yy - 64, xx - 64)
+        low = f[(rad > 0) & (rad < 8)].mean()
+        high = f[(rad > 32) & (rad < 60)].mean()
+        assert low < 0.1 * high, (low, high)
+
+    def test_white_noise_seeding_would_fail_blueness(self):
+        # control for the test above: a white-noise error field of the same
+        # magnitude has flat spectrum (ratio ~1), so the 0.1 bound is real
+        rng = np.random.default_rng(5)
+        err = np.sin(2 * np.pi * rng.uniform(size=(128, 128)))
+        f = np.fft.fftshift(np.abs(np.fft.fft2(err - err.mean())))
+        yy, xx = np.mgrid[:128, :128]
+        rad = np.hypot(yy - 64, xx - 64)
+        low = f[(rad > 0) & (rad < 8)].mean()
+        high = f[(rad > 32) & (rad < 60)].mean()
+        assert low > 0.5 * high, (low, high)
+
+    def test_render_matches_default_sampler_mean(self):
+        # both sampler modes must converge to the same image
+        from fredholm_tpu.renderer import Renderer
+        from fredholm_tpu.scene.procedural import cornell_box
+
+        means = {}
+        for mode in ("sobol_cmj", "bluenoise"):
+            r = Renderer(width=32, height=32)
+            r.use_pallas = False
+            r.sampler_mode = mode
+            r.set_scene(cornell_box())
+            r.render(n_samples=48, max_depth=4)
+            means[mode] = np.asarray(r.layers["beauty"]).mean(0)
+        np.testing.assert_allclose(
+            means["bluenoise"], means["sobol_cmj"], rtol=0.08, atol=5e-3
+        )
