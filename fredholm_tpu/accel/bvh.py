@@ -67,11 +67,15 @@ def build_bvh(
     tri_hi: np.ndarray,
     leaf_size: int = LEAF_SIZE,
     prefer_native: bool = True,
+    thread: bool = True,
 ) -> BVH:
     """Build from per-triangle AABBs [F, 3].
 
     Uses the C++ builder (native/bvh_builder.cpp via ctypes) when available;
     the numpy path below is the portable fallback with identical output.
+    thread=False skips the six skip-link threadings (a Python preorder walk
+    per ordering — 13 s at 1M tris); million-tri scenes traverse through the
+    cluster hierarchy and never read the links.
     """
     f = tri_lo.shape[0]
     assert f > 0
@@ -97,7 +101,8 @@ def build_bvh(
                 links=np.zeros((6, bmin.shape[0], 2), np.int32),
                 prim_order=prim_order,
             )
-            _thread_links(bvh)
+            if thread:
+                _thread_links(bvh)
             return bvh
 
     centroid = 0.5 * (tri_lo + tri_hi)
@@ -218,7 +223,8 @@ def build_bvh(
         links=np.zeros((6, n, 2), np.int32),
         prim_order=order.astype(np.int32),
     )
-    _thread_links(bvh)
+    if thread:
+        _thread_links(bvh)
     return bvh
 
 

@@ -1,17 +1,30 @@
-"""Triangle clustering for the two-level Pallas traversal.
+"""Triangle cluster hierarchy for the Pallas traversal.
 
-Cuts the SAH BVH at subtrees of <= CLUSTER_SIZE triangles, yielding K
-spatially-coherent clusters with tight AABBs whose triangles are contiguous
-in the BVH's reordered primitive list. The Pallas kernel
-(accel/pallas_clustered.py) tests each ray tile against the K cluster boxes
-(SMEM scalars, real branches) and DMAs only the HIT clusters' triangle
-blocks into SMEM — the TPU analog of BVH traversal's node culling, with the
-tree walk replaced by a predicated linear sweep over treelets.
+TPU-native analog of OptiX's two-level GAS/IAS acceleration structures
+(/root/reference/fredholm/include/fredholm/renderer.h:434-552): the SAH BVH
+is cut into three predicated levels instead of a per-ray tree walk —
+
+  instance  ->  supercluster (<= 128 clusters)  ->  cluster (<= 256 tris)
+
+The Pallas kernel (accel/pallas_clustered.py) sweeps each ray tile down the
+levels: instance AABBs and supercluster AABBs live in SMEM as scalars;
+member-cluster AABB groups ([8, 128]) and triangle blocks ([16, 256]) are
+DMA'd from HBM only when the tile's rays actually overlap them. Ray
+coherence within a tile makes most tests fail, so the expensive inner
+sweeps run only for the handful of treelets a tile overlaps — the same
+work-saving a per-ray tree walk gives, but with zero per-lane control flow
+and only sequential, aligned DMA.
+
+A BLAS (one per unique submesh, object space) is the GAS analog; instances
+reference a BLAS plus a world transform, so device memory is O(unique
+geometry) however many instances exist (the reference's IAS contract,
+renderer.h:498-552).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -21,68 +34,302 @@ CLUSTER_SIZE = 256
 # v0.xyz, e1.xyz, e2.xyz, prim_id (+ padding rows: DMA slices must be
 # 8-row aligned on TPU)
 TRI_COMPONENTS = 16
+# member-cluster groups are padded to one 128-lane DMA slice
+SC_GROUP = 128
+# supercluster cut target: small groups keep the unordered member sweep
+# bounded once the supercluster loop itself is front-to-back ordered
+SC_TARGET_MEMBERS = 32
+# cl_meta rows: lo.xyz(0-2), hi.xyz(3-5), tri_count(6), block_id(7)
+CL_META_ROWS = 8
+# six iteration orders: axis*2 + sign (ascending along +axis / -axis)
+N_ORDERS = 6
 
 
 @dataclasses.dataclass
-class Clusters:
-    aabb_lo: np.ndarray  # [K, 3]
-    aabb_hi: np.ndarray  # [K, 3]
-    counts: np.ndarray  # [K] int32 (<= CLUSTER_SIZE)
-    blocks: np.ndarray  # [TRI_COMPONENTS, K * CLUSTER_SIZE] float32
+class Hierarchy:
+    """One BLAS: superclusters over clusters over a contiguous tri order.
+
+    sc_aabb:   [6, S] float32 (lo.xyz, hi.xyz), SMEM-resident at trace
+    sc_mcount: [S] int32 member-cluster counts (<= SC_GROUP)
+    sc_order:  [6, S] int32 — supercluster visit order per direction class
+               (axis*2+sign), sorted front-to-back so the kernel's best-t
+               cap can terminate the sweep early
+    sc_key:    [6, S] float32 — the (sign-flipped) sorted slab coordinate
+               lo/hi[axis] driving the kernel's sound early-exit bound
+    cl_meta:   [CL_META_ROWS, S * SC_GROUP] float32 member AABBs + counts +
+               global block ids (HBM; one [8, 128] DMA per hit supercluster)
+    blocks:    [TRI_COMPONENTS, K * CLUSTER_SIZE] float32 triangle SoA
+               (HBM; one [16, 256] DMA per hit cluster)
+    root_lo/hi: [3] float32 object-space bounds (instance AABB source)
+    """
+
+    sc_aabb: np.ndarray
+    sc_mcount: np.ndarray
+    sc_order: np.ndarray
+    sc_key: np.ndarray
+    cl_meta: np.ndarray
+    blocks: np.ndarray
+    root_lo: np.ndarray
+    root_hi: np.ndarray
+
+    @property
+    def n_superclusters(self) -> int:
+        return int(self.sc_mcount.shape[0])
 
     @property
     def n_clusters(self) -> int:
-        return int(self.counts.shape[0])
+        return int(self.blocks.shape[1] // CLUSTER_SIZE)
 
 
-def extract_clusters(
-    bvh: BVH, tri_v0, tri_e1, tri_e2, max_size: int = CLUSTER_SIZE
-) -> Clusters:
+def _subtree_ranges(bvh: BVH) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-node (prim count, prim range start, cluster count). Children have
+    larger ids than parents in both builders, so one reverse sweep fills
+    all three bottom-up."""
     n = bvh.n_nodes
-    # subtree prim counts and range starts (leaf ranges are contiguous per
-    # subtree by construction of the partitioning builder)
     counts = np.zeros(n, np.int64)
     starts = np.zeros(n, np.int64)
-    # children have larger ids than parents in both builders
+    n_cl = np.zeros(n, np.int64)
+    left = bvh.left
+    right = bvh.right
     for i in range(n - 1, -1, -1):
-        if bvh.left[i] < 0:
+        if left[i] < 0:
             counts[i] = bvh.leaf_count[i]
             starts[i] = bvh.leaf_start[i]
+            n_cl[i] = 1
         else:
-            l, r = bvh.left[i], bvh.right[i]
+            l, r = left[i], right[i]
             counts[i] = counts[l] + counts[r]
             starts[i] = min(starts[l], starts[r])
+            n_cl[i] = 1 if counts[i] <= CLUSTER_SIZE else n_cl[l] + n_cl[r]
+    return counts, starts, n_cl
 
-    clusters = []
-    stack = [0]
+
+def _cut_clusters(bvh: BVH, counts, root: int, max_size: int) -> List[int]:
+    """DFS cut of `root`'s subtree at subtrees of <= max_size prims."""
+    out: List[int] = []
+    stack = [root]
     while stack:
         node = stack.pop()
         if counts[node] <= max_size or bvh.left[node] < 0:
-            clusters.append(node)
+            out.append(node)
+        else:
+            stack.append(int(bvh.right[node]))
+            stack.append(int(bvh.left[node]))
+    return out
+
+
+def extract_hierarchy(
+    bvh: BVH,
+    tri_v0: np.ndarray,
+    tri_e1: np.ndarray,
+    tri_e2: np.ndarray,
+    prim_ids: np.ndarray | None = None,
+) -> Hierarchy:
+    """Cut the BVH into the two on-device levels.
+
+    prim_ids maps BLAS-local triangle index -> the id recorded in blocks
+    row 9 (global face id for shared/instanced geometry); defaults to the
+    local index.
+    """
+    counts, starts, n_cl = _subtree_ranges(bvh)
+
+    # supercluster cut: subtrees yielding <= SC_TARGET_MEMBERS clusters
+    sc_nodes: List[int] = []
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        if n_cl[node] <= SC_TARGET_MEMBERS or bvh.left[node] < 0:
+            sc_nodes.append(node)
         else:
             stack.append(int(bvh.right[node]))
             stack.append(int(bvh.left[node]))
 
-    k = len(clusters)
-    aabb_lo = np.stack([bvh.bounds_min[c] for c in clusters])
-    aabb_hi = np.stack([bvh.bounds_max[c] for c in clusters])
-    ccounts = np.asarray([counts[c] for c in clusters], np.int32)
+    s = len(sc_nodes)
+    sc_aabb = np.zeros((6, s), np.float32)
+    sc_mcount = np.zeros((s,), np.int32)
+    cl_meta = np.zeros((CL_META_ROWS, s * SC_GROUP), np.float32)
+    # empty member slots must fail every slab test
+    cl_meta[0:3, :] = 1e30
+    cl_meta[3:6, :] = -1e30
 
-    blocks = np.zeros((TRI_COMPONENTS, k * max_size), np.float32)
-    for ci, node in enumerate(clusters):
-        s = int(starts[node])
+    cluster_nodes: List[int] = []
+    for si, node in enumerate(sc_nodes):
+        sc_aabb[0:3, si] = bvh.bounds_min[node]
+        sc_aabb[3:6, si] = bvh.bounds_max[node]
+        members = _cut_clusters(bvh, counts, node, CLUSTER_SIZE)
+        assert len(members) <= SC_GROUP
+        sc_mcount[si] = len(members)
+        base = si * SC_GROUP
+        for j, m in enumerate(members):
+            cl_meta[0:3, base + j] = bvh.bounds_min[m]
+            cl_meta[3:6, base + j] = bvh.bounds_max[m]
+            cl_meta[6, base + j] = counts[m]
+            cl_meta[7, base + j] = len(cluster_nodes)
+            cluster_nodes.append(m)
+
+    k = len(cluster_nodes)
+    if prim_ids is None:
+        prim_ids = np.arange(tri_v0.shape[0], dtype=np.int64)
+    blocks = np.zeros((TRI_COMPONENTS, k * CLUSTER_SIZE), np.float32)
+    for ci, node in enumerate(cluster_nodes):
+        st = int(starts[node])
         c = int(counts[node])
-        prim = bvh.prim_order[s : s + c]
-        base = ci * max_size
+        prim = bvh.prim_order[st : st + c]
+        base = ci * CLUSTER_SIZE
         blocks[0:3, base : base + c] = tri_v0[prim].T
         blocks[3:6, base : base + c] = tri_e1[prim].T
         blocks[6:9, base : base + c] = tri_e2[prim].T
-        blocks[9, base : base + c] = prim.astype(np.float32)
-        blocks[9, base + c : base + max_size] = -1.0
+        blocks[9, base : base + c] = prim_ids[prim].astype(np.float32)
+        blocks[9, base + c : base + CLUSTER_SIZE] = -1.0
 
-    return Clusters(
-        aabb_lo=aabb_lo.astype(np.float32),
-        aabb_hi=aabb_hi.astype(np.float32),
-        counts=ccounts,
+    sc_order, sc_key = _direction_orders(sc_aabb)
+    return Hierarchy(
+        sc_aabb=sc_aabb,
+        sc_mcount=sc_mcount,
+        sc_order=sc_order,
+        sc_key=sc_key,
+        cl_meta=cl_meta,
         blocks=blocks,
+        root_lo=bvh.bounds_min[0].astype(np.float32).copy(),
+        root_hi=bvh.bounds_max[0].astype(np.float32).copy(),
     )
+
+
+def _direction_orders(sc_aabb: np.ndarray):
+    """Front-to-back visit orders per direction class.
+
+    For ordering o = axis*2 + sign the kernel walks superclusters with
+    ascending slab coordinate in SIGN-FLIPPED space: key = lo[axis] for
+    rays with d[axis] > 0, key = -hi[axis] for d[axis] < 0. Sorting by this
+    key makes "every later box has key >= current key" true, which is what
+    the kernel's early-exit lower bound (t_lb = (key - max o)/max d) needs
+    to be sound.
+    """
+    s = sc_aabb.shape[1]
+    sc_order = np.zeros((N_ORDERS, s), np.int32)
+    sc_key = np.zeros((N_ORDERS, s), np.float32)
+    for axis in range(3):
+        for sign in range(2):
+            o = axis * 2 + sign
+            key = sc_aabb[axis] if sign == 0 else -sc_aabb[3 + axis]
+            order = np.argsort(key, kind="stable").astype(np.int32)
+            sc_order[o] = order
+            sc_key[o] = key[order]
+    return sc_order, sc_key
+
+
+# ---------------------------------------------------------------------------
+# TLAS: instances over BLAS hierarchies
+
+
+def _transform_aabb(lo: np.ndarray, hi: np.ndarray, m4: np.ndarray):
+    """World AABB of an object-space AABB under an affine transform."""
+    pts = np.array(
+        [
+            [x, y, z]
+            for x in (lo[0], hi[0])
+            for y in (lo[1], hi[1])
+            for z in (lo[2], hi[2])
+        ],
+        np.float32,
+    )
+    w = pts @ np.asarray(m4, np.float32)[:3, :3].T + np.asarray(
+        m4, np.float32
+    )[:3, 3]
+    return w.min(axis=0), w.max(axis=0)
+
+
+@dataclasses.dataclass
+class TLAS:
+    """Flat concatenation of BLAS levels plus the instance table.
+
+    inst_aabb: [6, I] world AABBs; inst_minv: [12, I] world->object affine
+    rows; inst_sc: [2, I] int32 (supercluster base, count) into the
+    concatenated sc tables; inst_identity: True when every instance is the
+    identity (the kernel then skips the per-instance ray transform).
+    """
+
+    sc_aabb: np.ndarray
+    sc_mcount: np.ndarray
+    sc_order: np.ndarray
+    sc_key: np.ndarray
+    cl_meta: np.ndarray
+    blocks: np.ndarray
+    inst_aabb: np.ndarray
+    inst_minv: np.ndarray
+    inst_sc: np.ndarray
+    inst_identity: bool
+
+    @property
+    def n_instances(self) -> int:
+        return int(self.inst_aabb.shape[1])
+
+    @property
+    def n_superclusters(self) -> int:
+        return int(self.sc_mcount.shape[0])
+
+
+def build_tlas(
+    blas_list: Sequence[Hierarchy],
+    instances: Sequence[Tuple[int, np.ndarray]],
+) -> TLAS:
+    """instances: (blas index, object-to-world 4x4) pairs."""
+    assert blas_list and instances
+    sc_base = np.zeros(len(blas_list), np.int64)
+    cl_base = np.zeros(len(blas_list), np.int64)
+    for b in range(1, len(blas_list)):
+        sc_base[b] = sc_base[b - 1] + blas_list[b - 1].n_superclusters
+        cl_base[b] = cl_base[b - 1] + blas_list[b - 1].n_clusters
+
+    sc_aabb = np.concatenate([h.sc_aabb for h in blas_list], axis=1)
+    sc_mcount = np.concatenate([h.sc_mcount for h in blas_list])
+    # per-BLAS segments of the order tables keep their local sort; entries
+    # become global supercluster ids (the kernel walks one segment per
+    # instance: sc_order[o, sc_base + k])
+    sc_order = np.concatenate(
+        [h.sc_order + np.int32(sc_base[b]) for b, h in enumerate(blas_list)],
+        axis=1,
+    )
+    sc_key = np.concatenate([h.sc_key for h in blas_list], axis=1)
+    metas = []
+    for b, h in enumerate(blas_list):
+        m = h.cl_meta.copy()
+        m[7, :] += np.float32(cl_base[b])
+        metas.append(m)
+    cl_meta = np.concatenate(metas, axis=1)
+    blocks = np.concatenate([h.blocks for h in blas_list], axis=1)
+
+    n_i = len(instances)
+    inst_aabb = np.zeros((6, n_i), np.float32)
+    inst_minv = np.zeros((12, n_i), np.float32)
+    inst_sc = np.zeros((2, n_i), np.int32)
+    identity = True
+    for i, (b, m4) in enumerate(instances):
+        h = blas_list[b]
+        m4 = np.asarray(m4, np.float32)
+        lo, hi = _transform_aabb(h.root_lo, h.root_hi, m4)
+        inst_aabb[0:3, i] = lo
+        inst_aabb[3:6, i] = hi
+        minv = np.linalg.inv(m4)
+        inst_minv[:, i] = minv[:3, :].reshape(-1)
+        inst_sc[0, i] = sc_base[b]
+        inst_sc[1, i] = h.n_superclusters
+        if not np.allclose(m4, np.eye(4), atol=1e-7):
+            identity = False
+    return TLAS(
+        sc_aabb=sc_aabb,
+        sc_mcount=sc_mcount,
+        sc_order=sc_order,
+        sc_key=sc_key,
+        cl_meta=cl_meta,
+        blocks=blocks,
+        inst_aabb=inst_aabb,
+        inst_minv=inst_minv,
+        inst_sc=inst_sc,
+        inst_identity=identity,
+    )
+
+
+def extract_clusters(bvh: BVH, tri_v0, tri_e1, tri_e2) -> Hierarchy:
+    """Backwards-compatible name: single-BLAS hierarchy extraction."""
+    return extract_hierarchy(bvh, tri_v0, tri_e1, tri_e2)

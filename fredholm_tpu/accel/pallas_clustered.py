@@ -1,21 +1,28 @@
-"""Two-level clustered ray traversal in Pallas.
+"""Three-level instanced ray traversal in Pallas.
 
-The large-scene replacement for OptiX BVH traversal
-(/root/reference/fredholm/include/fredholm/renderer.h:434-552 GAS/IAS +
-optixTrace): a predicated linear sweep over BVH treelets.
+The large-scene replacement for OptiX GAS/IAS traversal
+(/root/reference/fredholm/include/fredholm/renderer.h:434-552 +
+optixTrace): a predicated sweep over the cluster hierarchy built in
+accel/cluster.py —
 
-Per program instance (one [SUBLANES, 128] ray tile):
-  for each cluster c (treelet of <= 256 triangles, accel/cluster.py):
-    - slab-test the tile against c's AABB (scalars from SMEM) with the
-      CURRENT per-ray best t as tmax -> tile-level hit predicate
-    - @pl.when(any hit): DMA c's triangle block HBM -> SMEM (one [10, 256]
-      copy) and run the scalar-broadcast Moller-Trumbore sweep, updating
-      the running best hit held in VMEM scratch
+  instance (SMEM AABB + world->object transform)
+    -> supercluster (SMEM AABB; <= 128 member clusters)
+      -> cluster ([8, 128] member-AABB group DMA'd HBM -> SMEM)
+        -> triangles ([16, 256] block DMA'd HBM -> SMEM,
+                      scalar-broadcast Moller-Trumbore over the ray tile)
 
-Ray coherence within a tile makes most cluster tests fail, so the expensive
-inner sweep runs only for the handful of treelets a tile actually overlaps —
-the same work-saving a per-ray tree walk gives, but with zero per-lane
-control flow and only sequential, aligned DMA.
+Every level is gated with `@pl.when(any(hit))`, so work descends only where
+some ray in the [SUBLANES, 128] tile actually overlaps. Ray tiles are
+pixel-coherent, which makes the gates highly selective for primary/shadow
+rays; dead lanes (tmax < 0) are masked at the top so fully-dead tiles cost
+one instance AABB test.
+
+Instancing: rays are transformed into object space per hit instance (12
+scalars from SMEM, vector FMAs on the tile). The hit parameter t is
+invariant under the affine map (o + t*d maps exactly), so best-t
+predication works across instances and the output t is world-scale.
+Identity-only scenes (flattened/baked geometry) compile a kernel variant
+with no transform code at all.
 """
 
 from __future__ import annotations
@@ -29,34 +36,41 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cluster import CLUSTER_SIZE, Clusters, TRI_COMPONENTS
+from .cluster import CL_META_ROWS, CLUSTER_SIZE, SC_GROUP, TLAS, TRI_COMPONENTS
 
 LANES = 128
 SUBLANES = 64  # 8k rays per program instance: smaller tiles cull better
 RAY_TILE = LANES * SUBLANES
 
-_HBM_SPACE = getattr(pltpu, "HBM", pltpu.ANY)
+_HBM_SPACE = getattr(pltpu, "HBM", getattr(pl, "ANY", pltpu.ANY))
 
 
-def prepare_clustered(clusters: Clusters) -> Dict:
-    """Device arrays for the kernels."""
+def prepare_clustered(tlas: TLAS) -> Dict:
+    """Device arrays for the kernels (traced pytree — the static
+    `inst_identity` bool travels via pt.STATIC_DEV_KEYS instead)."""
     return {
-        # [6, K] SMEM scalars: lo.xyz, hi.xyz
-        "aabbs": jnp.asarray(
-            np.concatenate([clusters.aabb_lo.T, clusters.aabb_hi.T], axis=0)
-        ),
-        "counts": jnp.asarray(clusters.counts.astype(np.int32)),
-        "blocks": jnp.asarray(clusters.blocks),  # [10, K*256] in HBM
+        "sc_aabb": jnp.asarray(tlas.sc_aabb),          # [6, S] SMEM
+        "sc_mcount": jnp.asarray(tlas.sc_mcount),      # [S] SMEM
+        "sc_order": jnp.asarray(tlas.sc_order),        # [6, S] SMEM
+        "sc_key": jnp.asarray(tlas.sc_key),            # [6, S] SMEM
+        "cl_meta": jnp.asarray(tlas.cl_meta),          # [8, S*128] HBM
+        "blocks": jnp.asarray(tlas.blocks),            # [16, K*256] HBM
+        "inst_aabb": jnp.asarray(tlas.inst_aabb),      # [6, I] SMEM
+        "inst_minv": jnp.asarray(tlas.inst_minv),      # [12, I] SMEM
+        "inst_sc": jnp.asarray(tlas.inst_sc),          # [2, I] SMEM
     }
 
 
-def _slab_test(c, aabbs_ref, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best):
-    lo_x = aabbs_ref[0, c]
-    lo_y = aabbs_ref[1, c]
-    lo_z = aabbs_ref[2, c]
-    hi_x = aabbs_ref[3, c]
-    hi_y = aabbs_ref[4, c]
-    hi_z = aabbs_ref[5, c]
+def _inv_dir(dx, dy, dz):
+    eps = 1e-12
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) < eps, jnp.where(dx < 0, -eps, eps), dx)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz) < eps, jnp.where(dz < 0, -eps, eps), dz)
+    return inv_dx, inv_dy, inv_dz
+
+
+def _slab(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
+          ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best):
     t1x = (lo_x - ox) * inv_dx
     t2x = (hi_x - ox) * inv_dx
     t1y = (lo_y - oy) * inv_dy
@@ -72,6 +86,14 @@ def _slab_test(c, aabbs_ref, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best):
         jnp.maximum(t1z, t2z),
     )
     return (tn <= tf) & (tf >= 0.0) & (tn <= t_best)
+
+
+def _slab_cols(ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best):
+    """Slab test against AABB column c of a [>=6, N] scalar table."""
+    return _slab(
+        ref[0, c], ref[1, c], ref[2, c], ref[3, c], ref[4, c], ref[5, c],
+        ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best,
+    )
 
 
 def _mt_scalar(smem, i, ox, oy, oz, dx, dy, dz):
@@ -108,83 +130,215 @@ def _mt_scalar(smem, i, ox, oy, oz, dx, dy, dz):
     return t, u, v, valid
 
 
-def _make_kernel(n_clusters: int, any_hit: bool):
+def _make_kernel(n_inst: int, identity: bool, any_hit: bool):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-               aabbs_ref, counts_ref, blocks_hbm,
-               t_out, prim_out, u_out, v_out,
-               best_t, best_prim, best_u, best_v, smem, sem):
+               inst_aabb, inst_minv, inst_sc, sc_aabb, sc_mcount,
+               sc_order, sc_key,
+               cl_meta_hbm, blocks_hbm,
+               t_out, prim_out, u_out, v_out, inst_out,
+               best_t, best_prim, best_u, best_v, best_inst,
+               clm, smem, sem_m, sem_b):
         tmax = tmax_ref[:]
         alive = tmax > 0.0
+        neg_big = jnp.float32(-1e30)
 
         best_t[:] = tmax
         best_prim[:] = jnp.full(tmax.shape, -1.0, jnp.float32)
         best_u[:] = jnp.zeros(tmax.shape, jnp.float32)
         best_v[:] = jnp.zeros(tmax.shape, jnp.float32)
+        best_inst[:] = jnp.zeros(tmax.shape, jnp.float32)
 
-        # wavefront compaction, TPU form: dead lanes (tmax < 0, from RR
-        # kills / misses) are pixel-coherent, so tiles go dead together —
-        # skip the whole cluster sweep when no lane is alive
+        # fully-dead tiles (pixel-coherent RR kills / misses) cost nothing
         @pl.when(jnp.any(alive))
         def _sweep():
-            ox = ox_ref[:]
-            oy = oy_ref[:]
-            oz = oz_ref[:]
-            dx = dx_ref[:]
-            dy = dy_ref[:]
-            dz = dz_ref[:]
+            wox = ox_ref[:]
+            woy = oy_ref[:]
+            woz = oz_ref[:]
+            wdx = dx_ref[:]
+            wdy = dy_ref[:]
+            wdz = dz_ref[:]
+            winv = _inv_dir(wdx, wdy, wdz)
 
-            eps = 1e-12
-            inv_dx = 1.0 / jnp.where(jnp.abs(dx) < eps, jnp.where(dx < 0, -eps, eps), dx)
-            inv_dy = 1.0 / jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
-            inv_dz = 1.0 / jnp.where(jnp.abs(dz) < eps, jnp.where(dz < 0, -eps, eps), dz)
-
-            def cluster_body(c, _):
-                box_hit = alive & _slab_test(
-                    c, aabbs_ref, ox, oy, oz, inv_dx, inv_dy, inv_dz,
-                    best_t[:],
+            def inst_body(i, _):
+                ihit = alive & _slab_cols(
+                    inst_aabb, i, wox, woy, woz, *winv, best_t[:]
                 )
                 if any_hit:
-                    # lanes already occluded need no more work
-                    box_hit = box_hit & (best_prim[:] < 0.0)
+                    ihit = ihit & (best_prim[:] < 0.0)
 
-                @pl.when(jnp.any(box_hit))
+                @pl.when(jnp.any(ihit))
                 def _():
-                    dma = pltpu.make_async_copy(
-                        blocks_hbm.at[:, pl.ds(c * CLUSTER_SIZE, CLUSTER_SIZE)],
-                        smem,
-                        sem,
+                    if identity:
+                        ox, oy, oz = wox, woy, woz
+                        dx, dy, dz = wdx, wdy, wdz
+                        inv = winv
+                    else:
+                        m = [inst_minv[r, i] for r in range(12)]
+                        ox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+                        oy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+                        oz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+                        dx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+                        dy = m[4] * wdx + m[5] * wdy + m[6] * wdz
+                        dz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+                        inv = _inv_dir(dx, dy, dz)
+
+                    sc_lo = inst_sc[0, i]
+                    sc_n = inst_sc[1, i]
+
+                    # front-to-back ordering: dominant direction class of
+                    # the tile's ALIVE rays picks one of the 6 precomputed
+                    # visit orders (the skip-link 6-threading idea applied
+                    # to the supercluster sweep)
+                    a0 = jnp.where(alive, dx, 0.0)
+                    a1 = jnp.where(alive, dy, 0.0)
+                    a2 = jnp.where(alive, dz, 0.0)
+                    m0 = jnp.sum(a0)
+                    m1 = jnp.sum(a1)
+                    m2 = jnp.sum(a2)
+                    ax = jnp.where(
+                        jnp.abs(m0) >= jnp.maximum(jnp.abs(m1), jnp.abs(m2)),
+                        0,
+                        jnp.where(jnp.abs(m1) >= jnp.abs(m2), 1, 2),
                     )
-                    dma.start()
-                    dma.wait()
-                    count = counts_ref[c]
+                    msel = jnp.where(
+                        ax == 0, m0, jnp.where(ax == 1, m1, m2)
+                    )
+                    o_id = 2 * ax + (msel < 0.0).astype(jnp.int32)
 
-                    def tri_body(i, _):
-                        t, u, v, valid = _mt_scalar(smem, i, ox, oy, oz, dx, dy, dz)
-                        improved = valid & (t < best_t[:])
+                    # sign-flipped axis coords for the early-exit bound:
+                    # every later box in the order has key >= current key,
+                    # and entry distance >= (key - max o') / max d' for all
+                    # alive lanes (sound only if no alive lane moves
+                    # backwards along the axis)
+                    sgn = jnp.where(msel < 0.0, -1.0, 1.0)
+                    oax = sgn * jnp.where(
+                        ax == 0, ox, jnp.where(ax == 1, oy, oz)
+                    )
+                    dax = sgn * jnp.where(
+                        ax == 0, dx, jnp.where(ax == 1, dy, dz)
+                    )
+                    o_hi = jnp.max(jnp.where(alive, oax, neg_big))
+                    d_hi = jnp.max(jnp.where(alive, dax, neg_big))
+                    exit_ok = ~jnp.any(alive & (dax <= 1e-7))
+
+                    def sc_cond(carry):
+                        k, done = carry
+                        return (k < sc_n) & (done == 0)
+
+                    def sc_body(carry):
+                        k, done = carry
+                        s = sc_order[o_id, sc_lo + k]
+                        shit = alive & _slab_cols(
+                            sc_aabb, s, ox, oy, oz, *inv, best_t[:]
+                        )
                         if any_hit:
-                            hit_any = improved
-                            best_prim[:] = jnp.where(
-                                hit_any, smem[9, i], best_prim[:]
-                            )
-                        else:
-                            best_prim[:] = jnp.where(
-                                improved, smem[9, i], best_prim[:]
-                            )
-                            best_u[:] = jnp.where(improved, u, best_u[:])
-                            best_v[:] = jnp.where(improved, v, best_v[:])
-                            best_t[:] = jnp.where(improved, t, best_t[:])
-                        return 0
+                            shit = shit & (best_prim[:] < 0.0)
 
-                    jax.lax.fori_loop(0, count, tri_body, 0)
+                        @pl.when(jnp.any(shit))
+                        def _():
+                            dma_m = pltpu.make_async_copy(
+                                cl_meta_hbm.at[
+                                    :, pl.ds(s * SC_GROUP, SC_GROUP)
+                                ],
+                                clm,
+                                sem_m,
+                            )
+                            dma_m.start()
+                            dma_m.wait()
+
+                            def cl_body(j, _):
+                                bhit = _slab_cols(
+                                    clm, j, ox, oy, oz, *inv, best_t[:]
+                                )
+                                if any_hit:
+                                    bhit = bhit & (best_prim[:] < 0.0)
+
+                                @pl.when(jnp.any(bhit))
+                                def _():
+                                    cid = clm[7, j].astype(jnp.int32)
+                                    dma_b = pltpu.make_async_copy(
+                                        blocks_hbm.at[
+                                            :,
+                                            pl.ds(
+                                                cid * CLUSTER_SIZE,
+                                                CLUSTER_SIZE,
+                                            ),
+                                        ],
+                                        smem,
+                                        sem_b,
+                                    )
+                                    dma_b.start()
+                                    dma_b.wait()
+                                    cnt = clm[6, j].astype(jnp.int32)
+
+                                    def tri_body(kk, _):
+                                        t, u, v, valid = _mt_scalar(
+                                            smem, kk, ox, oy, oz, dx, dy, dz
+                                        )
+                                        improved = valid & (t < best_t[:])
+                                        if any_hit:
+                                            best_prim[:] = jnp.where(
+                                                improved, smem[9, kk],
+                                                best_prim[:],
+                                            )
+                                        else:
+                                            best_prim[:] = jnp.where(
+                                                improved, smem[9, kk],
+                                                best_prim[:],
+                                            )
+                                            best_u[:] = jnp.where(
+                                                improved, u, best_u[:]
+                                            )
+                                            best_v[:] = jnp.where(
+                                                improved, v, best_v[:]
+                                            )
+                                            best_t[:] = jnp.where(
+                                                improved, t, best_t[:]
+                                            )
+                                            if n_inst > 1:
+                                                best_inst[:] = jnp.where(
+                                                    improved,
+                                                    i.astype(jnp.float32),
+                                                    best_inst[:],
+                                                )
+                                        return 0
+
+                                    jax.lax.fori_loop(0, cnt, tri_body, 0)
+
+                                return 0
+
+                            jax.lax.fori_loop(0, sc_mcount[s], cl_body, 0)
+
+                        # early exit: remaining (front-to-back) boxes are
+                        # provably beyond every alive lane's best t
+                        k1 = k + 1
+                        if any_hit:
+                            # occlusion queries also stop when every alive
+                            # lane already found a hit
+                            all_occ = ~jnp.any(alive & (best_prim[:] < 0.0))
+                        else:
+                            all_occ = False
+                        t_cap = jnp.max(jnp.where(alive, best_t[:], neg_big))
+                        key_n = sc_key[o_id, sc_lo + jnp.minimum(
+                            k1, sc_n - 1
+                        )]
+                        t_lb = (key_n - o_hi) / jnp.maximum(d_hi, 1e-30)
+                        done_n = (exit_ok & (t_lb > t_cap)) | all_occ
+                        return k1, done_n.astype(jnp.int32)
+
+                    jax.lax.while_loop(
+                        sc_cond, sc_body, (jnp.int32(0), jnp.int32(0))
+                    )
 
                 return 0
 
-            jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+            jax.lax.fori_loop(0, n_inst, inst_body, 0)
 
         t_out[:] = best_t[:]
         prim_out[:] = best_prim[:].astype(jnp.int32)
         u_out[:] = best_u[:]
         v_out[:] = best_v[:]
+        inst_out[:] = best_inst[:].astype(jnp.int32)
 
     return kernel
 
@@ -199,30 +353,41 @@ def _ray_tiles(o, d, t_max, n_pad):
     return tiles
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "any_hit"))
-def _call(tiles, aabbs, counts, blocks, n_clusters: int, any_hit: bool):
+@functools.partial(
+    jax.jit, static_argnames=("n_inst", "identity", "any_hit")
+)
+def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
     n_pad = tiles[0].shape[0] * LANES
     rows = n_pad // LANES
     sub = min(SUBLANES, rows)
     grid = (rows // sub,)
-    ray_spec = pl.BlockSpec((sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    kernel = _make_kernel(n_clusters, any_hit)
+    ray_spec = pl.BlockSpec(
+        (sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    kernel = _make_kernel(n_inst, identity, any_hit)
     out_shapes = [
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
     ]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[ray_spec] * 7
         + [
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # aabbs [6, K]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts [K]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_aabb [6, I]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_minv [12, I]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_sc [2, I]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_aabb [6, S]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_mcount [S]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_order [6, S]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_key [6, S]
+            pl.BlockSpec(memory_space=_HBM_SPACE),  # cl_meta [8, S*128]
             pl.BlockSpec(memory_space=_HBM_SPACE),  # blocks [16, K*256]
         ],
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * 5,
         out_shape=out_shapes,
         # CPU (tests) runs the kernel in the pallas interpreter
         interpret=jax.default_backend() == "cpu",
@@ -231,20 +396,38 @@ def _call(tiles, aabbs, counts, blocks, n_clusters: int, any_hit: bool):
             pltpu.VMEM((sub, LANES), jnp.float32),
             pltpu.VMEM((sub, LANES), jnp.float32),
             pltpu.VMEM((sub, LANES), jnp.float32),
+            pltpu.VMEM((sub, LANES), jnp.float32),
+            pltpu.SMEM((CL_META_ROWS, SC_GROUP), jnp.float32),
             pltpu.SMEM((TRI_COMPONENTS, CLUSTER_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
-    )(*tiles, aabbs, counts, blocks)
-
-
-def intersect_closest_clustered(dev_c: Dict, o, d, t_max):
-    n = o.shape[0]
-    n_pad = -(-n // RAY_TILE) * RAY_TILE if n >= RAY_TILE else -(-n // LANES) * LANES
-    tiles = _ray_tiles(o, d, t_max, n_pad)
-    k = dev_c["counts"].shape[0]
-    t, prim, u, v = _call(
-        tiles, dev_c["aabbs"], dev_c["counts"], dev_c["blocks"], k, False
+    )(
+        *tiles,
+        dev_c["inst_aabb"],
+        dev_c["inst_minv"],
+        dev_c["inst_sc"],
+        dev_c["sc_aabb"],
+        dev_c["sc_mcount"],
+        dev_c["sc_order"],
+        dev_c["sc_key"],
+        dev_c["cl_meta"],
+        dev_c["blocks"],
     )
+
+
+def _pad_size(n: int) -> int:
+    if n >= RAY_TILE:
+        return -(-n // RAY_TILE) * RAY_TILE
+    return -(-n // LANES) * LANES
+
+
+def intersect_closest_clustered(dev_c: Dict, o, d, t_max,
+                                identity: bool = True):
+    n = o.shape[0]
+    tiles = _ray_tiles(o, d, t_max, _pad_size(n))
+    n_inst = dev_c["inst_aabb"].shape[1]
+    t, prim, u, v, inst = _call(tiles, dev_c, n_inst, identity, False)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -255,15 +438,14 @@ def intersect_closest_clustered(dev_c: Dict, o, d, t_max):
         "u": u.reshape(-1)[:n],
         "v": v.reshape(-1)[:n],
         "hit": ~miss,
+        "inst": inst.reshape(-1)[:n],
     }
 
 
-def intersect_any_clustered(dev_c: Dict, o, d, t_max):
+def intersect_any_clustered(dev_c: Dict, o, d, t_max,
+                            identity: bool = True):
     n = o.shape[0]
-    n_pad = -(-n // RAY_TILE) * RAY_TILE if n >= RAY_TILE else -(-n // LANES) * LANES
-    tiles = _ray_tiles(o, d, t_max, n_pad)
-    k = dev_c["counts"].shape[0]
-    _, prim, _, _ = _call(
-        tiles, dev_c["aabbs"], dev_c["counts"], dev_c["blocks"], k, True
-    )
+    tiles = _ray_tiles(o, d, t_max, _pad_size(n))
+    n_inst = dev_c["inst_aabb"].shape[1]
+    _, prim, _, _, _ = _call(tiles, dev_c, n_inst, identity, True)
     return (prim.reshape(-1)[:n]) >= 0

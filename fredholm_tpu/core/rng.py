@@ -63,8 +63,18 @@ def xxhash32_4(x, y, z, w):
 
 
 def uint_to_unit_float(u):
-    """uint32 -> float32 in [0, 1) (matches `* (1.0f / (1ULL << 32))`)."""
-    return _u32(u).astype(jnp.float32) * np.float32(2.3283064365386963e-10)
+    """uint32 -> float32 in [0, 1), from the TOP 24 bits.
+
+    Deliberate deviation from the reference's `* (1.0f / (1ULL << 32))`
+    (sampling.cu:16): that form rounds u >= 0xFFFFFF80 up to exactly 1.0f
+    (an out-of-range draw), and a direct uint32->float32 vector cast does
+    not exist on the TPU VPU (Mosaic). Truncating to the float's own 24-bit
+    mantissa is exact, guarantees [0, 1), and lowers everywhere.
+    """
+    return (
+        (_u32(u) >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+        * np.float32(1.0 / 16777216.0)
+    )
 
 
 def reverse_bits(x):

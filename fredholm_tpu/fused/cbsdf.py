@@ -409,7 +409,8 @@ def _sheen_l(x, roughness):
     c = interp(0.16801, 0.19823)
     d = interp(-1.27393, -1.97760)
     e = interp(-4.85967, -4.32054)
-    return a / (1.0 + b * jnp.power(jnp.maximum(x, 1e-8), c)) + d * x + e
+    # pow(x, c) as exp(c*log(x)): Mosaic has exp/log but no pow primitive
+    return a / (1.0 + b * jnp.exp(c * jnp.log(jnp.maximum(x, 1e-8)))) + d * x + e
 
 
 def _sheen_lambda(w: V3, roughness):
@@ -424,7 +425,9 @@ def _sheen_lambda(w: V3, roughness):
 def sheen_d(wh: V3, roughness):
     s = sin_theta(wh)
     inv_r = 1.0 / jnp.maximum(roughness, 1e-4)
-    return (2.0 + inv_r) * jnp.power(jnp.maximum(s, 1e-8), inv_r) / (2.0 * jnp.pi)
+    return (2.0 + inv_r) * jnp.exp(
+        inv_r * jnp.log(jnp.maximum(s, 1e-8))
+    ) / (2.0 * jnp.pi)
 
 
 def sheen_eval(roughness, wo: V3, wi: V3) -> V3:

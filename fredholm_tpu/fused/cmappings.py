@@ -46,12 +46,12 @@ def draw_cmj_2d(n_spp, image_idx, depth: int, scramble):
     jx = cmj_randfloat(index_p, key * _U(0xA399D265))
     jy = cmj_randfloat(index_p, key * _U(0x711AD6A5))
     fx = (
-        (index_p % _U(CMJ_M)).astype(jnp.float32)
-        + (sy.astype(jnp.float32) + jx) / CMJ_N
+        (index_p % _U(CMJ_M)).astype(jnp.int32).astype(jnp.float32)
+        + (sy.astype(jnp.int32).astype(jnp.float32) + jx) / CMJ_N
     ) / CMJ_M
     fy = (
-        (index_p // _U(CMJ_M)).astype(jnp.float32)
-        + (sx.astype(jnp.float32) + jy) / CMJ_M
+        (index_p // _U(CMJ_M)).astype(jnp.int32).astype(jnp.float32)
+        + (sx.astype(jnp.int32).astype(jnp.float32) + jy) / CMJ_M
     ) / CMJ_N
     return fx, fy
 

@@ -307,8 +307,25 @@ def fused_supported(dev: Dict, params: Dict) -> bool:
 # [S, 128] tiles inside Pallas kernels)
 
 
+def _acos_poly(x):
+    """acos via the Abramowitz-Stegun 4.4.45 7-term polynomial (|err| <
+    2e-8 rad) — Mosaic has no acos primitive; used in BOTH the jnp oracle
+    and the Pallas kernels so they stay bit-identical."""
+    ax = jnp.abs(x)
+    p = jnp.float32(-0.0012624911)
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * ax + jnp.float32(c)
+    r = p * jnp.sqrt(jnp.maximum(1.0 - ax, 0.0))
+    return jnp.where(x < 0.0, jnp.float32(np.pi) - r, r)
+
+
 def eval_sky_c(cfg: FusedConfig, sv, v: V3) -> V3:
-    """Component-form eval_sky (pt.py:168-181) for constant/Hosek modes."""
+    """Component-form eval_sky (pt.py:168-181) for constant/Hosek modes.
+
+    Trig is restructured for the VPU: cos(arccos(y)) == y cancels every
+    trig pair except the one gamma needed by exp(c4*gamma), which uses
+    the polynomial acos; pow(m, 1.5) becomes m*sqrt(m)."""
     if cfg.sky_mode == SKY_CONSTANT:
         bg = _sv3(sv, _SV["bg"])
         one = jnp.ones_like(v.y)
@@ -317,13 +334,12 @@ def eval_sky_c(cfg: FusedConfig, sv, v: V3) -> V3:
     # Hosek (sky/hosek.py sky_radiance, arhosek.cu:103-127)
     intensity = sv[_SV["sky_intensity"]]
     sun = _sv3(sv, _SV["sun_dir"])
-    theta = jnp.arccos(jnp.clip(v.y, -1.0, 1.0))
-    gamma = jnp.arccos(
-        jnp.clip(sun.x * v.x + sun.y * v.y + sun.z * v.z, -1.0, 1.0)
+    cos_g = jnp.clip(sun.x * v.x + sun.y * v.y + sun.z * v.z, -1.0, 1.0)
+    gamma = _acos_poly(cos_g)
+    # theta = min(arccos(y), pi/2 - 1e-3)  =>  cos_t = max(y, cos(pi/2-1e-3))
+    cos_t = jnp.maximum(
+        jnp.clip(v.y, -1.0, 1.0), jnp.float32(np.cos(0.5 * np.pi - 1e-3))
     )
-    theta = jnp.minimum(theta, 0.5 * jnp.pi - 1e-3)
-    cos_g = jnp.cos(gamma)
-    cos_t = jnp.cos(theta)
     zenith = jnp.sqrt(jnp.maximum(cos_t, 0.0))
     ray_m = cos_g * cos_g
     out = []
@@ -331,9 +347,8 @@ def eval_sky_c(cfg: FusedConfig, sv, v: V3) -> V3:
         base = _SV["hosek_cfg"] + 9 * ch
         c = [sv[base + k] for k in range(9)]
         exp_m = jnp.exp(c[4] * gamma)
-        mie_m = (1.0 + cos_g * cos_g) / jnp.power(
-            jnp.maximum(1.0 + c[8] * c[8] - 2.0 * c[8] * cos_g, 1e-8), 1.5
-        )
+        mie_b = jnp.maximum(1.0 + c[8] * c[8] - 2.0 * c[8] * cos_g, 1e-8)
+        mie_m = (1.0 + cos_g * cos_g) / (mie_b * jnp.sqrt(mie_b))
         r = (1.0 + c[0] * jnp.exp(c[1] / (cos_t + 0.01))) * (
             c[2] + c[3] * exp_m + c[5] * ray_m + c[6] * mie_m + c[7] * zenith
         )
@@ -563,7 +578,7 @@ def mega_body(
         miss_first = alive & ~hit
         rad = rad + where3(miss_first, thr * sky_le, z3)
     alive = alive & hit
-    nv = nv + alive.astype(jnp.float32)
+    nv = nv + jnp.where(alive, 1.0, 0.0)  # bool->f32 cast is unsupported in Mosaic
 
     # surface info (pt.py fill_surface_info)
     w1 = rhit["u"]
@@ -866,6 +881,59 @@ def _make_resolve(cfg, dev, hit_all, blocks, n, prev_rays, prev_pending):
     return resolve
 
 
+def _mega_tiled(cfg, d, sv, usv, light_table, image_idx, n_spp, sample_idx,
+                state, rhit, rattr, resolve, use_pallas: bool):
+    """mega_body, either pure-jnp (CPU oracle) or as ONE Pallas launch with
+    rays tiled in VMEM (fused/kernels.py) — the megakernel proper."""
+    if not use_pallas:
+        return mega_body(
+            cfg, d, sv, usv, image_idx, n_spp, sample_idx, light_table,
+            state, rhit, rattr, resolve,
+        )
+    from .kernels import tiled_map
+
+    inputs = {
+        "ii": image_idx, "ns": n_spp, "si": sample_idx,
+        "st": state, "rh": rhit, "ra": rattr, "rs": resolve,
+    }
+
+    def body(t, sv_r, usv_r, lt_r):
+        return mega_body(
+            cfg, d, sv_r, usv_r, t["ii"], t["ns"], t["si"], lt_r,
+            t["st"], t["rh"], t["ra"], t["rs"],
+        )
+
+    return tiled_map(body, inputs, [sv, usv, light_table])
+
+
+def _raygen_tiled(cfg, sv, usv, px, py, image_idx, n_spp, use_pallas: bool):
+    if not use_pallas:
+        return raygen_body(cfg, sv, usv, px, py, image_idx, n_spp)
+    from .kernels import tiled_map
+
+    inputs = {"px": px, "py": py, "ii": image_idx, "ns": n_spp}
+
+    def body(t, sv_r, usv_r):
+        return raygen_body(
+            cfg, sv_r, usv_r, t["px"], t["py"], t["ii"], t["ns"]
+        )
+
+    return tiled_map(body, inputs, [sv, usv])
+
+
+def _final_tiled(cfg, sv, state, resolve, use_pallas: bool):
+    if not use_pallas:
+        return final_resolve_body(cfg, sv, state, resolve)
+    from .kernels import tiled_map
+
+    inputs = {"st": state, "rs": resolve}
+
+    def body(t, sv_r):
+        return final_resolve_body(cfg, sv_r, t["st"], t["rs"])
+
+    return tiled_map(body, inputs, [sv])
+
+
 def render_sample_fused(dev: Dict, params: Dict, n_spp):
     """Drop-in replacement for pt.render_sample on the supported envelope;
     returns the same stacked [N, ...] AOV dict."""
@@ -884,19 +952,44 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
         lobes_on=dev.get("lobes_on", cbsdf.ALL_LOBES),
     )
 
-    px_u = jnp.tile(jnp.arange(width, dtype=jnp.uint32), tile_height)
-    py_u = jnp.repeat(
-        jnp.arange(tile_height, dtype=jnp.uint32), width
-    ) + jnp.asarray(y0, jnp.uint32)
+    from ..core.swizzle import swizzle_active, swizzled_pixel_coords, unswizzle
+
+    swz = swizzle_active(
+        width, tile_height, clustered=dev.get("use_clustered", False)
+    )
+    if swz:
+        # blocked pixel order: each [64,128] ray tile is a compact 64x128
+        # PIXEL region, so the traversal kernels' tile gates stay selective
+        px_u, py_u = swizzled_pixel_coords(width, tile_height, y0)
+    else:
+        px_u = jnp.tile(jnp.arange(width, dtype=jnp.uint32), tile_height)
+        py_u = jnp.repeat(
+            jnp.arange(tile_height, dtype=jnp.uint32), width
+        ) + jnp.asarray(y0, jnp.uint32)
     image_idx = px_u + np.uint32(width) * py_u
     px = px_u.astype(jnp.float32)
     py = py_u.astype(jnp.float32)
     n_spp = jnp.asarray(n_spp).astype(jnp.uint32)
+    if swz and n_spp.ndim > 0:
+        # per-pixel sample counts arrive pixel-linear; match lane order
+        from ..core.swizzle import swizzle_array
+
+        n_spp = swizzle_array(n_spp, width, tile_height)
 
     sv, usv = pack_scalars(params, width * height)
     light_table = dev["light_table"]
+    # Shading-stage backend: measured on the dev TPU, the XLA-fused jnp
+    # bodies slightly BEAT the hand-tiled Pallas launches (XLA's fusion of
+    # ~130 elementwise ops is already one pass over HBM; the Pallas version
+    # only adds VMEM tiling overhead), so jnp is the default and
+    # FREDHOLM_MEGA=pallas keeps the single-launch path as an A/B knob.
+    import os as _os
 
-    state = raygen_body(cfg, sv, usv, px, py, image_idx, n_spp)
+    use_pk = bool(dev.get("use_pallas", True)) and (
+        _os.environ.get("FREDHOLM_MEGA", "jnp") == "pallas"
+    )
+
+    state = _raygen_tiled(cfg, sv, usv, px, py, image_idx, n_spp, use_pk)
     sample_idx = state.pop("sample_idx")
     state["rad"] = None
     state["nv"] = None
@@ -943,9 +1036,9 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
             rattr = _gather_attrs(dev, hit_all["prim"])
             resolve = {}
 
-        state, rays, pending, aovs_d = mega_body(
-            cfg, d, sv, usv, image_idx, n_spp, sample_idx, light_table,
-            state, rhit, rattr, resolve,
+        state, rays, pending, aovs_d = _mega_tiled(
+            cfg, d, sv, usv, light_table, image_idx, n_spp, sample_idx,
+            state, rhit, rattr, resolve, use_pk,
         )
         if d == 0:
             aovs = aovs_d
@@ -967,9 +1060,9 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
     )
     resolve["lattr"] = _gather_attrs(dev, blk(hit_all["prim"], li))
 
-    rad = final_resolve_body(cfg, sv, state, resolve)
+    rad = _final_tiled(cfg, sv, state, resolve, use_pk)
 
-    return {
+    out = {
         "radiance": to_stacked(rad),
         "position": to_stacked(aovs["position"]),
         "normal": to_stacked(aovs["normal"]),
@@ -978,6 +1071,10 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
             [aovs["texcoord_u"], aovs["texcoord_v"]], axis=-1
         ),
         "albedo": to_stacked(aovs["albedo"]),
-        "n_path_vertices": jnp.sum(state["nv"]),
-        "n_lane_slots": jnp.float32(n * cfg.max_depth),
     }
+    if swz:
+        # back to pixel-linear order (one cheap transpose per AOV)
+        out = {k: unswizzle(v, width, tile_height) for k, v in out.items()}
+    out["n_path_vertices"] = jnp.sum(state["nv"])
+    out["n_lane_slots"] = jnp.float32(n * cfg.max_depth)
+    return out

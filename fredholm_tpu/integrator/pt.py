@@ -86,6 +86,7 @@ STATIC_DEV_KEYS = (
     "lobes_on",
     "has_alpha",
     "use_clustered",
+    "inst_identity",
 )
 
 
@@ -95,7 +96,10 @@ def _trace_closest_raw(dev, o, d, t_max):
             return intersect_closest_pallas(dev["tri_soa"], o, d, t_max)
         return intersect_closest_dense(dev["bvh"], o, d, t_max)
     if dev.get("use_clustered", False):
-        return intersect_closest_clustered(dev["clusters"], o, d, t_max)
+        return intersect_closest_clustered(
+            dev["clusters"], o, d, t_max,
+            identity=dev.get("inst_identity", True),
+        )
     return intersect_closest(dev["bvh"], o, d, t_max)
 
 
@@ -171,7 +175,10 @@ def trace_any(dev, o, d, t_max):
                 return intersect_any_pallas(dev["tri_soa"], o, d, t_max)
             return intersect_any_dense(dev["bvh"], o, d, t_max)
         if dev.get("use_clustered", False):
-            return intersect_any_clustered(dev["clusters"], o, d, t_max)
+            return intersect_any_clustered(
+                dev["clusters"], o, d, t_max,
+                identity=dev.get("inst_identity", True),
+            )
         return intersect_any(dev["bvh"], o, d, t_max)
     # alpha scenes: a shadow ray is occluded by the first OPAQUE hit, so
     # reuse the alpha-aware closest trace
@@ -492,10 +499,29 @@ def render_sample(dev: Dict, params: Dict, n_spp):
     n = width * tile_height
     max_depth = params["max_depth"]
 
-    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), tile_height)
-    py = jnp.repeat(jnp.arange(tile_height, dtype=jnp.uint32), width)
-    py = py + jnp.asarray(y0, jnp.uint32)
+    from ..core.swizzle import (
+        swizzle_active,
+        swizzle_array,
+        swizzled_pixel_coords,
+        unswizzle,
+    )
+
+    swz = swizzle_active(
+        width, tile_height, clustered=dev.get("use_clustered", False)
+    )
+    if swz:
+        # blocked pixel order for ray-tile coherence (core/swizzle.py);
+        # outputs are transposed back to pixel-linear at the end
+        px, py = swizzled_pixel_coords(width, tile_height, y0)
+    else:
+        px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), tile_height)
+        py = jnp.repeat(jnp.arange(tile_height, dtype=jnp.uint32), width)
+        py = py + jnp.asarray(y0, jnp.uint32)
     image_idx = px + np.uint32(width) * py
+
+    n_spp = jnp.asarray(n_spp)
+    if swz and n_spp.ndim > 0:
+        n_spp = swizzle_array(n_spp, width, tile_height)
 
     smp = init_sampler_state(
         image_idx, n_spp, width * height, params["seed"],
@@ -810,19 +836,22 @@ def render_sample(dev: Dict, params: Dict, n_spp):
     radiance = jnp.where(
         _mask3(is_finite3(state["radiance"])), state["radiance"], 0.0
     )
-    return {
+    out = {
         "radiance": radiance,
         "position": state["position"],
         "normal": state["normal"],
         "depth": state["depth_aov"],
         "texcoord": state["texcoord_aov"],
         "albedo": state["albedo"],
-        "n_path_vertices": state["n_path_vertices"],
-        # lane-bounce slots actually executed: occupancy is
-        # n_path_vertices / n_lane_slots (dead lanes ride along in every
-        # stage of a wavefront bounce — this quantifies the waste)
-        "n_lane_slots": state["depth"].astype(jnp.float32) * np.float32(n),
     }
+    if swz:
+        out = {k: unswizzle(v, width, tile_height) for k, v in out.items()}
+    out["n_path_vertices"] = state["n_path_vertices"]
+    # lane-bounce slots actually executed: occupancy is
+    # n_path_vertices / n_lane_slots (dead lanes ride along in every
+    # stage of a wavefront bounce — this quantifies the waste)
+    out["n_lane_slots"] = state["depth"].astype(jnp.float32) * np.float32(n)
+    return out
 
 
 def render_progressive(dev, params, layers, sample_count, n_samples: int):

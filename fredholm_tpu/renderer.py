@@ -49,6 +49,7 @@ class StaticConfig:
     use_ibl_is: bool
     use_fused: bool = False
     sampler_mode: str = "sobol_cmj"
+    inst_identity: bool = True
 
 
 def static_dev_from_config(config: StaticConfig) -> Dict:
@@ -332,13 +333,17 @@ class Renderer:
             use_pallas=self.use_pallas,
             lobes_on=ss["lobes_on"],
             has_alpha=ss["has_alpha"],
-            # medium/large scenes on TPU: predicated two-level Pallas sweep
-            # (SMEM cluster AABBs cap the cluster count)
+            # medium/large scenes: predicated three-level Pallas sweep
+            # (SMEM supercluster AABBs cap the count at ~134M tris).
+            # Million-tri scenes skip the skip-link build (bvh is None) and
+            # MUST take this path even off-TPU (interpreter mode)
             use_clustered=(
-                self.use_pallas
+                (self.use_pallas or self._dev.get("bvh") is None)
                 and self._dev["n_faces"] > self.dense_threshold
-                and self._dev["clusters"]["counts"].shape[0] <= 4096
+                and self._dev.get("_n_superclusters", 1 << 30) <= 4096
+                and self._dev.get("_n_instances", 1) <= 1024
             ),
+            inst_identity=self._dev.get("_inst_identity", True),
             use_ibl_is=(
                 self.sky_mode == self.SKY_IBL
                 and self.ibl_importance_sampling
@@ -372,7 +377,10 @@ class Renderer:
             config = dataclasses.replace(
                 config,
                 use_pallas=use_pallas,
-                use_clustered=config.use_clustered and use_pallas,
+                # keep the clustered path when no skip-link fallback was
+                # built (million-tri scenes); it runs interpreted off-TPU
+                use_clustered=config.use_clustered
+                and (use_pallas or self._dev.get("bvh") is None),
             )
         dev = dict(self._arrays())
         dev.update(static_dev_from_config(config))

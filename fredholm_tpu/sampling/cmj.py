@@ -68,7 +68,12 @@ def cmj_randfloat(i, p):
     i ^= _U(0xDF6E307F)
     i ^= i >> _U(17)
     i *= _U(1) | (p >> _U(18))
-    return i.astype(jnp.float32) * np.float32(1.0 / 4294967808.0)
+    # top-24-bit mapping (see core/rng.uint_to_unit_float for why this
+    # replaces the reference's /4294967808.0 full-width form, cmj.cu:55)
+    return (
+        (i >> _U(8)).astype(jnp.int32).astype(jnp.float32)
+        * np.float32(1.0 / 16777216.0)
+    )
 
 
 def cmj(index, scramble):
@@ -79,8 +84,8 @@ def cmj(index, scramble):
     sy = cmj_permute_pow2(index // _U(CMJ_M), CMJ_N, _u32(scramble) * _U(0x63D83595))
     jx = cmj_randfloat(index, _u32(scramble) * _U(0xA399D265))
     jy = cmj_randfloat(index, _u32(scramble) * _U(0x711AD6A5))
-    fx = ((index % _U(CMJ_M)).astype(jnp.float32) + (sy.astype(jnp.float32) + jx) / CMJ_N) / CMJ_M
-    fy = ((index // _U(CMJ_M)).astype(jnp.float32) + (sx.astype(jnp.float32) + jy) / CMJ_M) / CMJ_N
+    fx = ((index % _U(CMJ_M)).astype(jnp.int32).astype(jnp.float32) + (sy.astype(jnp.int32).astype(jnp.float32) + jx) / CMJ_N) / CMJ_M
+    fy = ((index // _U(CMJ_M)).astype(jnp.int32).astype(jnp.float32) + (sx.astype(jnp.int32).astype(jnp.float32) + jy) / CMJ_M) / CMJ_N
     return jnp.stack([fx, fy], axis=-1)
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.bvh import build_bvh, refit_bvh
-from ..accel.cluster import extract_clusters
+from ..accel.cluster import build_tlas, extract_hierarchy
 from ..accel.pallas_clustered import prepare_clustered
 from ..accel.pallas_dense import prepare_tri_soa
 from ..accel.traverse import build_device_bvh
@@ -54,19 +54,33 @@ def world_face_data(scene: Scene) -> Dict[str, np.ndarray]:
     }
 
 
+# skip-link threading (6 orderings, Python preorder walks) and the dense
+# tri SoA only pay off below these sizes; million-tri scenes always trace
+# through the cluster hierarchy
+SKIPLINK_MAX_FACES = 300_000
+DENSE_MAX_FACES = 4_096
+
+
 def build_device_scene(scene: Scene) -> Dict:
-    """Full device scene dict consumed by the integrator."""
+    """Full device scene dict consumed by the integrator.
+
+    All attribute tables are assembled in NUMPY first and uploaded once at
+    the end — building them from already-uploaded jax arrays round-trips
+    every array through the device (measured 42 s of a 74 s build for a 1M
+    triangle scene on the tunneled dev chip).
+    """
     assert scene.is_valid(), "invalid scene"
     fd = world_face_data(scene)
     vw = fd["verts"]
+    n_faces = int(scene.n_faces())
 
     v0 = vw[:, 0]
     e1 = vw[:, 1] - vw[:, 0]
     e2 = vw[:, 2] - vw[:, 0]
     lo = vw.min(axis=1)
     hi = vw.max(axis=1)
-    bvh = build_bvh(lo, hi)
-    dev_bvh = build_device_bvh(bvh, v0, e1, e2)
+    with_links = n_faces <= SKIPLINK_MAX_FACES
+    bvh = build_bvh(lo, hi, thread=with_links)
 
     mats = materials_to_soa(scene.materials)
     n_mats = len(scene.materials) if scene.materials else 1
@@ -86,10 +100,34 @@ def build_device_scene(scene: Scene) -> Dict:
         axis=1,
     ).astype(np.float32)
 
+    # cluster hierarchy: baked geometry = one BLAS + one identity instance
+    # (the TLAS analog; true N-instance mode arrives via instanced scenes)
+    tlas = build_tlas(
+        [extract_hierarchy(bvh, v0, e1, e2)], [(0, np.eye(4))]
+    )
+
+    # numpy-first staging dict for the fused-table builders
+    np_dev = {
+        "face_verts": fd["verts"],
+        "face_normals": fd["normals"],
+        "face_uvs": fd["uvs"],
+        "face_mat": mat_ids,
+        "materials": mats,
+        "lights": lights,
+    }
+    from ..fused.pt_fused import (
+        build_fused_mat_table,
+        build_fused_table,
+        build_light_table,
+    )
+
+    fused_table = build_fused_table(np_dev)
+    fused_mat_table = build_fused_mat_table(np_dev)
+    light_table = build_light_table(np_dev)
+
     dev = {
-        "bvh": dev_bvh,
-        "tri_soa": prepare_tri_soa(v0, e1, e2),
-        "clusters": prepare_clustered(extract_clusters(bvh, v0, e1, e2)),
+        "bvh": build_device_bvh(bvh, v0, e1, e2) if with_links else None,
+        "clusters": prepare_clustered(tlas),
         "face_verts": jnp.asarray(fd["verts"]),
         "face_normals": jnp.asarray(fd["normals"]),
         "face_uvs": jnp.asarray(fd["uvs"]),
@@ -99,19 +137,17 @@ def build_device_scene(scene: Scene) -> Dict:
         "textures": pack_textures(scene.textures),
         "lights": jnp.asarray(lights),
         "n_lights": int(lights.shape[0]),
-        "n_faces": int(scene.n_faces()),
+        "n_faces": n_faces,
+        "fused_table": jnp.asarray(fused_table),
+        "fused_mat_table": jnp.asarray(fused_mat_table),
+        "light_table": jnp.asarray(light_table),
+        # host-only statics (underscore keys never enter traced pytrees)
+        "_inst_identity": tlas.inst_identity,
+        "_n_superclusters": tlas.n_superclusters,
+        "_n_instances": tlas.n_instances,
     }
-    # fused-megakernel tables: ONE joined face-attribute table (geometry +
-    # material + emission) and the small area-light table (fused/pt_fused.py)
-    from ..fused.pt_fused import (
-        build_fused_mat_table,
-        build_fused_table,
-        build_light_table,
-    )
-
-    dev["fused_table"] = jnp.asarray(build_fused_table(dev))
-    dev["fused_mat_table"] = jnp.asarray(build_fused_mat_table(dev))
-    dev["light_table"] = jnp.asarray(build_light_table(dev))
+    if n_faces <= DENSE_MAX_FACES:
+        dev["tri_soa"] = prepare_tri_soa(v0, e1, e2)
     # host-side handles for animation refresh
     dev["_host"] = {"scene": scene, "bvh": bvh}
     return dev
@@ -133,9 +169,15 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
     e1 = vw[:, 1] - vw[:, 0]
     e2 = vw[:, 2] - vw[:, 0]
     new = dict(dev)
-    new["bvh"] = build_device_bvh(bvh, v0, e1, e2)
-    new["tri_soa"] = prepare_tri_soa(v0, e1, e2)
-    new["clusters"] = prepare_clustered(extract_clusters(bvh, v0, e1, e2))
+    if dev.get("bvh") is not None:
+        new["bvh"] = build_device_bvh(bvh, v0, e1, e2)
+    if "tri_soa" in dev:
+        new["tri_soa"] = prepare_tri_soa(v0, e1, e2)
+    new["clusters"] = prepare_clustered(
+        build_tlas(
+            [extract_hierarchy(bvh, v0, e1, e2)], [(0, np.eye(4))]
+        )
+    )
     new["face_verts"] = jnp.asarray(fd["verts"])
     new["face_normals"] = jnp.asarray(fd["normals"])
     new["face_uvs"] = jnp.asarray(fd["uvs"])
@@ -160,7 +202,16 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
         build_light_table,
     )
 
-    new["fused_table"] = jnp.asarray(build_fused_table(new))
-    new["fused_mat_table"] = jnp.asarray(build_fused_mat_table(new))
-    new["light_table"] = jnp.asarray(build_light_table(new))
+    # numpy-first (see build_device_scene): never read device arrays back
+    np_dev = {
+        "face_verts": fd["verts"],
+        "face_normals": fd["normals"],
+        "face_uvs": fd["uvs"],
+        "face_mat": mat_ids,
+        "materials": {k: np.asarray(v) for k, v in dev["materials"].items()},
+        "lights": np.asarray(dev["lights"]),
+    }
+    new["fused_table"] = jnp.asarray(build_fused_table(np_dev))
+    new["fused_mat_table"] = jnp.asarray(build_fused_mat_table(np_dev))
+    new["light_table"] = jnp.asarray(build_light_table(np_dev))
     return new

@@ -237,3 +237,68 @@ def furnace_sphere(material: Material) -> Scene:
         submesh_offsets=[0],
         submesh_n_faces=[n_faces],
     )
+
+
+def terrain(n: int = 724, size: float = 20.0, amp: float = 1.8,
+            material: Optional[Material] = None) -> Scene:
+    """Million-triangle-class displaced terrain (2*n^2 tris; n=724 ~ 1.05M).
+
+    The scale-test analog of the reference's San Miguel / Rungholt scenes
+    (controller.h:31-43): one connected mesh with strong spatial coherence,
+    exercising the cluster-hierarchy traversal well past the dense regime.
+    Deterministic sum-of-sines displacement (no RNG, stable goldens).
+    """
+    xs = np.linspace(-size / 2, size / 2, n + 1, dtype=np.float32)
+    zs = np.linspace(-size / 2, size / 2, n + 1, dtype=np.float32)
+    x, z = np.meshgrid(xs, zs, indexing="ij")
+    y = amp * (
+        np.sin(0.7 * x) * np.cos(0.5 * z)
+        + 0.45 * np.sin(2.3 * x + 1.0) * np.sin(1.9 * z + 0.5)
+        + 0.18 * np.cos(6.1 * x + 2.0) * np.cos(5.7 * z + 1.2)
+    ).astype(np.float32)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+
+    # analytic gradient -> smooth shading normals
+    dy_dx = amp * (
+        0.7 * np.cos(0.7 * x) * np.cos(0.5 * z)
+        + 0.45 * 2.3 * np.cos(2.3 * x + 1.0) * np.sin(1.9 * z + 0.5)
+        - 0.18 * 6.1 * np.sin(6.1 * x + 2.0) * np.cos(5.7 * z + 1.2)
+    )
+    dy_dz = amp * (
+        -0.5 * np.sin(0.7 * x) * np.sin(0.5 * z)
+        + 0.45 * 1.9 * np.sin(2.3 * x + 1.0) * np.cos(1.9 * z + 0.5)
+        - 0.18 * 5.7 * np.cos(6.1 * x + 2.0) * np.sin(5.7 * z + 1.2)
+    )
+    norms = np.stack(
+        [-dy_dx, np.ones_like(y), -dy_dz], axis=-1
+    ).reshape(-1, 3)
+    norms = (norms / np.linalg.norm(norms, axis=-1, keepdims=True)).astype(
+        np.float32
+    )
+    uvs = np.stack(
+        [(x + size / 2) / size, (z + size / 2) / size], axis=-1
+    ).reshape(-1, 2).astype(np.float32)
+
+    # two triangles per grid cell
+    i0 = (np.arange(n)[:, None] * (n + 1) + np.arange(n)[None, :]).ravel()
+    a, b, c, d = i0, i0 + 1, i0 + n + 1, i0 + n + 2
+    idxs = np.concatenate(
+        [np.stack([a, b, d], -1), np.stack([a, d, c], -1)]
+    ).astype(np.int32)
+
+    n_faces = len(idxs)
+    mat = material or Material(
+        base_color=(0.55, 0.5, 0.42), specular=0.25, specular_roughness=0.5
+    )
+    return Scene(
+        vertices=verts,
+        normals=norms,
+        texcoords=uvs,
+        indices=idxs,
+        material_ids=np.zeros((n_faces,), np.int32),
+        instance_ids=np.zeros((n_faces,), np.int32),
+        materials=[mat],
+        transforms=np.eye(4, dtype=np.float32)[None],
+        submesh_offsets=[0],
+        submesh_n_faces=[n_faces],
+    )

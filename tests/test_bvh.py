@@ -171,22 +171,28 @@ class TestRefit:
         assert bool(traverse.intersect_closest(dev, o, d, 1e9)["hit"][0])
 
 
+def _sphere_blas(n_theta=32, n_phi=64):
+    v, n, t, f = uv_sphere([0, 0, 0], 1.0, n_theta=n_theta, n_phi=n_phi)
+    v0 = v[f[:, 0]]
+    e1 = v[f[:, 1]] - v0
+    e2 = v[f[:, 2]] - v0
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    b = bvh_mod.build_bvh(lo, hi)
+    from fredholm_tpu.accel.cluster import extract_hierarchy
+
+    return extract_hierarchy(b, v0, e1, e2), v0, e1, e2
+
+
 class TestClusteredTraversal:
     def test_clustered_matches_brute_force(self):
-        """Two-level Pallas sweep (interpreter on CPU) vs brute force."""
+        """Three-level Pallas sweep (interpreter on CPU) vs brute force."""
         from fredholm_tpu.accel import pallas_clustered as pc
-        from fredholm_tpu.accel.cluster import extract_clusters
+        from fredholm_tpu.accel.cluster import build_tlas
 
-        v, n, t, f = uv_sphere([0, 0, 0], 1.0, n_theta=32, n_phi=64)
-        v0 = v[f[:, 0]]
-        e1 = v[f[:, 1]] - v0
-        e2 = v[f[:, 2]] - v0
-        lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
-        hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
-        b = bvh_mod.build_bvh(lo, hi)
-        cl = extract_clusters(b, v0, e1, e2)
-        assert cl.n_clusters > 2  # actually multi-cluster
-        dev_c = pc.prepare_clustered(cl)
+        h, v0, e1, e2 = _sphere_blas()
+        assert h.n_clusters > 2  # actually multi-cluster
+        dev_c = pc.prepare_clustered(build_tlas([h], [(0, np.eye(4))]))
 
         rng = np.random.default_rng(11)
         o = rng.normal(size=(256, 3)).astype(np.float32)
@@ -209,3 +215,61 @@ class TestClusteredTraversal:
             dev_c, jnp.asarray(o), jnp.asarray(d), 1e9
         )
         np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref["hit"]))
+
+    def test_instanced_traversal_matches_flattened(self):
+        """Two transformed instances of one BLAS (shared geometry) must hit
+        exactly like the flattened world-space triangle soup — the IAS
+        contract (renderer.h:498-552)."""
+        from fredholm_tpu.accel import pallas_clustered as pc
+        from fredholm_tpu.accel.cluster import build_tlas
+
+        h, v0, e1, e2 = _sphere_blas(n_theta=16, n_phi=32)
+        m_a = np.eye(4, dtype=np.float32)
+        m_a[:3, 3] = [-1.6, 0.0, 0.0]
+        m_b = np.diag([0.5, 0.5, 0.5, 1.0]).astype(np.float32)
+        m_b[:3, 3] = [1.6, 0.3, 0.0]
+        tlas = build_tlas([h], [(0, m_a), (0, m_b)])
+        assert not tlas.inst_identity
+        dev_c = pc.prepare_clustered(tlas)
+
+        # flattened world-space reference soup
+        def xf(m, v):
+            return v @ m[:3, :3].T + m[:3, 3]
+
+        w_v0 = np.concatenate([xf(m_a, v0), xf(m_b, v0)])
+        w_e1 = np.concatenate([e1 @ m_a[:3, :3].T, e1 @ m_b[:3, :3].T])
+        w_e2 = np.concatenate([e2 @ m_a[:3, :3].T, e2 @ m_b[:3, :3].T])
+
+        rng = np.random.default_rng(3)
+        o = rng.normal(size=(192, 3)).astype(np.float32)
+        o = 4.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+        d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+        got = pc.intersect_closest_clustered(
+            dev_c, jnp.asarray(o), jnp.asarray(d), 1e9, identity=False
+        )
+        ref = traverse.brute_force_closest(
+            jnp.asarray(w_v0), jnp.asarray(w_e1), jnp.asarray(w_e2),
+            jnp.asarray(o), jnp.asarray(d), 1e9,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["hit"]), np.asarray(ref["hit"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["t"]), np.asarray(ref["t"]), rtol=2e-4, atol=1e-5
+        )
+        # the hit instance follows from which flattened range the ref hit
+        f_per = v0.shape[0]
+        want_inst = (np.asarray(ref["prim"]) >= f_per).astype(np.int32)
+        hitm = np.asarray(ref["hit"])
+        np.testing.assert_array_equal(
+            np.asarray(got["inst"])[hitm], want_inst[hitm]
+        )
+        # prim ids are BLAS-local (shared across instances)
+        np.testing.assert_array_equal(
+            np.asarray(got["prim"])[hitm],
+            (np.asarray(ref["prim"]) % f_per)[hitm],
+        )
+        occ = pc.intersect_any_clustered(
+            dev_c, jnp.asarray(o), jnp.asarray(d), 1e9, identity=False
+        )
+        np.testing.assert_array_equal(np.asarray(occ), hitm)
