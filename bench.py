@@ -10,6 +10,8 @@ Prints one JSON line PER metric (primary first):
    larger-scene operating point (clustered traversal path).
 3. cornell-box 1920x1080 @16spp depth5 — the reference contest operating
    point (rtcamp8.cpp:49-64).
+4. terrain ~1.05M tris — the million-triangle scene class (San
+   Miguel/Rungholt analog, controller.h:31-43), supercluster traversal.
 
 `--smoke` runs a tiny config; `--sharded` runs the pixel-sharded
 shard_map path on a real-device mesh (proves collectives compile on the
@@ -138,6 +140,25 @@ def _bench_sweep(width, height, spp, max_depth):
     return _timed_render(r, spp, max_depth)
 
 
+def _bench_terrain(width, height, spp, max_depth):
+    """~1.05M-triangle displaced terrain under Hosek sky + sun: the
+    million-triangle scene class (San Miguel/Rungholt analog,
+    controller.h:31-43) through the supercluster traversal."""
+    import numpy as np
+
+    from fredholm_tpu.renderer import Renderer
+    from fredholm_tpu.scene.procedural import terrain
+
+    r = Renderer(width=width, height=height)
+    r.set_scene(terrain())
+    r.camera.origin = np.asarray([0.0, 4.5, 11.0], np.float32)
+    r.camera.look_around(0.0, -0.25)
+    r.camera._update_transform()
+    r.set_directional_light([2.0, 1.9, 1.8], [0.35, 0.75, 0.3], angle=0.5)
+    r.load_arhosek_sky(turbidity=3.0, albedo=0.3)
+    return _timed_render(r, spp, max_depth)
+
+
 def _bench_sharded(width, height, spp, max_depth):
     """Pixel-sharded render over all visible real devices (1-device mesh on
     the single dev chip — proves shard_map+psum compile/run on the TPU)."""
@@ -194,7 +215,7 @@ def main() -> None:
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument(
         "--only", type=int, default=0,
-        help="run just metric N (1=cornell, 2=sweep, 3=1080p)",
+        help="run just metric N (1=cornell, 2=sweep, 3=1080p, 4=terrain)",
     )
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
@@ -240,6 +261,13 @@ def main() -> None:
         _emit(
             f"cornell-box 1920x1080 @{args.spp}spp depth{args.max_depth} "
             f"single-chip path tracing (contest operating point)",
+            mpvs,
+        )
+    if args.only in (0, 4):
+        mpvs = _bench_terrain(512, 288, 4, args.max_depth)
+        _emit(
+            f"terrain ~1.05M-tris 512x288 @4spp depth{args.max_depth} "
+            f"single-chip path tracing (supercluster traversal)",
             mpvs,
         )
 

@@ -330,6 +330,43 @@ def build_tlas(
     )
 
 
+def update_tlas_instances(
+    dev_c, blas_list: Sequence[Hierarchy],
+    instances: Sequence[Tuple[int, np.ndarray]],
+):
+    """O(I) instance-motion update: recompute ONLY the per-instance arrays
+    of an already-uploaded clustered device dict (geometry blocks, cluster
+    metadata, and supercluster tables are untouched and stay on device).
+
+    The set_time analog for instanced scenes — contrast with rebuilding
+    the whole TLAS (renderer.h:614-640 rebuilds the IAS the same way:
+    new OptixInstance transforms over unchanged GASes)."""
+    import jax.numpy as jnp
+
+    sc_base = np.zeros(len(blas_list), np.int64)
+    for b in range(1, len(blas_list)):
+        sc_base[b] = sc_base[b - 1] + blas_list[b - 1].n_superclusters
+
+    n_i = len(instances)
+    inst_aabb = np.zeros((6, n_i), np.float32)
+    inst_minv = np.zeros((12, n_i), np.float32)
+    inst_sc = np.zeros((2, n_i), np.int32)
+    for i, (b, m4) in enumerate(instances):
+        h = blas_list[b]
+        m4 = np.asarray(m4, np.float32)
+        lo, hi = _transform_aabb(h.root_lo, h.root_hi, m4)
+        inst_aabb[0:3, i] = lo
+        inst_aabb[3:6, i] = hi
+        inst_minv[:, i] = np.linalg.inv(m4)[:3, :].reshape(-1)
+        inst_sc[0, i] = sc_base[b]
+        inst_sc[1, i] = h.n_superclusters
+    new = dict(dev_c)
+    new["inst_aabb"] = jnp.asarray(inst_aabb)
+    new["inst_minv"] = jnp.asarray(inst_minv)
+    new["inst_sc"] = jnp.asarray(inst_sc)
+    return new
+
+
 def extract_clusters(bvh: BVH, tri_v0, tri_e1, tri_e2) -> Hierarchy:
     """Backwards-compatible name: single-BLAS hierarchy extraction."""
     return extract_hierarchy(bvh, tri_v0, tri_e1, tri_e2)

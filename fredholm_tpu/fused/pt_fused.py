@@ -167,21 +167,24 @@ def build_fused_mat_table(dev: Dict) -> np.ndarray:
 
 def build_light_table(dev: Dict) -> np.ndarray:
     """[max(L,1), 24] float32: per emissive face verts(9) normals(9) le(3)
-    area(1) for the in-kernel area-light select (pt.cu:282-322 analog)."""
-    lights = np.asarray(dev["lights"])
-    out = np.zeros((max(len(lights), 1), 24), np.float32)
-    if len(lights):
-        fv = np.asarray(dev["face_verts"])[lights]
-        fn = np.asarray(dev["face_normals"])[lights]
-        mat_ids = np.asarray(dev["face_mat"])[lights]
-        le = np.asarray(dev["materials"]["emission_color"])[mat_ids]
-        e1 = fv[:, 1] - fv[:, 0]
-        e2 = fv[:, 2] - fv[:, 0]
-        area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
-        out[:, 0:9] = fv.reshape(-1, 9)
-        out[:, 9:18] = fn.reshape(-1, 9)
-        out[:, 18:21] = le
-        out[:, 21] = area
+    area(1) for the in-kernel area-light select (pt.cu:282-322 analog).
+
+    Reads the world-space light SoA (scene/device.py `_light_soa`), so it
+    is exact for instanced emissive geometry too."""
+    fv = np.asarray(dev["light_verts"])  # [L', 3, 3] (L' = max(L, 1))
+    fn = np.asarray(dev["light_normals"])
+    mat_ids = np.asarray(dev["light_mat"])
+    le = np.asarray(dev["materials"]["emission_color"])[
+        np.clip(mat_ids, 0, len(np.asarray(dev["materials"]["emission_color"])) - 1)
+    ]
+    e1 = fv[:, 1] - fv[:, 0]
+    e2 = fv[:, 2] - fv[:, 0]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    out = np.zeros((fv.shape[0], 24), np.float32)
+    out[:, 0:9] = fv.reshape(-1, 9)
+    out[:, 9:18] = fn.reshape(-1, 9)
+    out[:, 18:21] = le
+    out[:, 21] = area
     return out
 
 
@@ -842,13 +845,19 @@ def _concat_rays(ray_list):
     return o, d, t
 
 
-def _gather_attrs(dev, prim):
+def _gather_attrs(dev, prim, inst=None):
     """Two-stage fetch: geometry by prim, then material params by the
-    fetched mat_id (a one-hot matmul over M << F materials)."""
+    fetched mat_id (a one-hot matmul over M << F materials).
+
+    Instanced scenes (dev["inst_table"] present): the geometry table is
+    OBJECT space — transform verts/normals by the hit instance's rows and
+    recompute the (world) area, all in column form on the VPU."""
     table = dev["fused_table"]  # [F, GEOM_COLS]
     p = jnp.clip(prim, 0, table.shape[0] - 1)
     geom = gather_rows(table, p, dev.get("use_dense", False))
     attrs = {c: geom[:, c] for c in range(GEOM_COLS_USED)}
+    if inst is not None and "inst_table" in dev:
+        _xform_attrs_cols(dev, inst, attrs)
     mat_table = dev["fused_mat_table"]  # [M, MAT_COLS]
     mid = jnp.round(geom[:, COL["mat_id"]]).astype(jnp.int32)
     mid = jnp.clip(mid, 0, mat_table.shape[0] - 1)
@@ -856,6 +865,41 @@ def _gather_attrs(dev, prim):
     for c in range(MAT_COLS):
         attrs[GEOM_COLS + c] = mat[:, c]
     return attrs
+
+
+def _xform_attrs_cols(dev, inst, attrs):
+    """Apply per-hit instance transforms to column-form geometry attrs
+    in place (scene/device.py `_instance_table` row layout)."""
+    it = dev["inst_table"]
+    rows = gather_rows(it, jnp.clip(inst, 0, it.shape[0] - 1), True)
+    r = lambda k: rows[:, k]
+    for base in (COL["v0"], COL["v1"], COL["v2"]):
+        x, y, z = attrs[base], attrs[base + 1], attrs[base + 2]
+        attrs[base] = r(0) * x + r(1) * y + r(2) * z + r(3)
+        attrs[base + 1] = r(4) * x + r(5) * y + r(6) * z + r(7)
+        attrs[base + 2] = r(8) * x + r(9) * y + r(10) * z + r(11)
+    for base in (COL["n0"], COL["n1"], COL["n2"]):
+        x, y, z = attrs[base], attrs[base + 1], attrs[base + 2]
+        nx = r(12) * x + r(13) * y + r(14) * z
+        ny = r(15) * x + r(16) * y + r(17) * z
+        nz = r(18) * x + r(19) * y + r(20) * z
+        s = 1.0 / jnp.sqrt(
+            jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24)
+        )
+        attrs[base] = nx * s
+        attrs[base + 1] = ny * s
+        attrs[base + 2] = nz * s
+    # world area from the transformed verts (exact under any affine)
+    e1x = attrs[COL["v1"]] - attrs[COL["v0"]]
+    e1y = attrs[COL["v1"] + 1] - attrs[COL["v0"] + 1]
+    e1z = attrs[COL["v1"] + 2] - attrs[COL["v0"] + 2]
+    e2x = attrs[COL["v2"]] - attrs[COL["v0"]]
+    e2y = attrs[COL["v2"] + 1] - attrs[COL["v0"] + 1]
+    e2z = attrs[COL["v2"] + 2] - attrs[COL["v0"] + 2]
+    cx = e1y * e2z - e1z * e2y
+    cy = e1z * e2x - e1x * e2z
+    cz = e1x * e2y - e1y * e2x
+    attrs[COL["area"]] = 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
 
 
 def _make_resolve(cfg, dev, hit_all, blocks, n, prev_rays, prev_pending):
@@ -1025,7 +1069,12 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
             prim2 = jnp.concatenate(
                 [blk(hit_all["prim"], li), blk(hit_all["prim"], ri)]
             )
-            attrs2 = _gather_attrs(dev, prim2)
+            inst2 = None
+            if "inst" in hit_all:
+                inst2 = jnp.concatenate(
+                    [blk(hit_all["inst"], li), blk(hit_all["inst"], ri)]
+                )
+            attrs2 = _gather_attrs(dev, prim2, inst=inst2)
             lattr = {c: v[:n] for c, v in attrs2.items()}
             rattr = {c: v[n:] for c, v in attrs2.items()}
             resolve = _make_resolve(
@@ -1033,7 +1082,9 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
             )
             resolve["lattr"] = lattr
         else:
-            rattr = _gather_attrs(dev, hit_all["prim"])
+            rattr = _gather_attrs(
+                dev, hit_all["prim"], inst=hit_all.get("inst")
+            )
             resolve = {}
 
         state, rays, pending, aovs_d = _mega_tiled(
@@ -1058,7 +1109,10 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
     resolve = _make_resolve(
         cfg, dev, hit_all, blocks, n, prev_rays, prev_pending
     )
-    resolve["lattr"] = _gather_attrs(dev, blk(hit_all["prim"], li))
+    resolve["lattr"] = _gather_attrs(
+        dev, blk(hit_all["prim"], li),
+        inst=blk(hit_all["inst"], li) if "inst" in hit_all else None,
+    )
 
     rad = _final_tiled(cfg, sv, state, resolve, use_pk)
 

@@ -152,6 +152,8 @@ def trace_closest(dev, o, d, t_max):
             "v": jnp.where(cut, nxt["v"], hit["v"]),
             "hit": jnp.where(cut, nxt["hit"], hit["hit"]),
         }
+        if "inst" in hit:
+            merged["inst"] = jnp.where(cut, nxt["inst"], hit["inst"])
         return merged, jnp.where(cut[..., None], new_origin, origin), jnp.where(cut, new_t_base, t_base), cut
 
     def cond(state):
@@ -210,13 +212,63 @@ def eval_sky(params, v):
 # surface + shading params
 
 
-def fill_surface_info(dev, prim, bary_u, bary_v, ray_d):
-    """pt.cu:141-179 over a wavefront; prim: [N] int32 (clamped valid)."""
+def _gather_inst_rows(dev, inst):
+    """[N, 24] per-lane instance transform rows (scene/device.py
+    `_instance_table`); tiny one-hot gather over I <= 1024 instances."""
+    table = dev["inst_table"]
+    i = jnp.clip(inst, 0, table.shape[0] - 1)
+    return gather_rows(table, i, True)
+
+
+def _apply_inst_points(rows, pts):
+    """rows [N,12] affine o2w; pts [N,V,3] -> world. Pure VPU component
+    math (no dot_general: TPU matmul defaults to bf16)."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]  # [N, V]
+    c = lambda k: rows[:, k:k + 1]
+    return jnp.stack(
+        [
+            c(0) * x + c(1) * y + c(2) * z + c(3),
+            c(4) * x + c(5) * y + c(6) * z + c(7),
+            c(8) * x + c(9) * y + c(10) * z + c(11),
+        ],
+        axis=-1,
+    )
+
+
+def _apply_inst_normals(rows, nrm):
+    """rows [N,24] (cols 12:21 = inverse-transpose rotation); nrm [N,V,3]
+    -> world, renormalized per vertex."""
+    x, y, z = nrm[..., 0], nrm[..., 1], nrm[..., 2]
+    c = lambda k: rows[:, 12 + k:12 + k + 1]
+    w = jnp.stack(
+        [
+            c(0) * x + c(1) * y + c(2) * z,
+            c(3) * x + c(4) * y + c(5) * z,
+            c(6) * x + c(7) * y + c(8) * z,
+        ],
+        axis=-1,
+    )
+    return w / jnp.maximum(
+        jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12
+    )
+
+
+def fill_surface_info(dev, prim, bary_u, bary_v, ray_d, inst=None):
+    """pt.cu:141-179 over a wavefront; prim: [N] int32 (clamped valid).
+
+    For instanced scenes the face tables are OBJECT space: `inst` selects
+    the per-hit transform applied after the gather (the IAS shading
+    contract — world position/normals from object-space GAS attributes).
+    """
     p = jnp.clip(prim, 0, dev["n_faces"] - 1)
     small = dev.get("use_dense", False)
     fv = gather_rows(dev["face_verts"], p, small)  # [N, 3, 3]
     fn = gather_rows(dev["face_normals"], p, small)
     fuv = gather_rows(dev["face_uvs"], p, small)
+    if inst is not None and "inst_table" in dev:
+        rows = _gather_inst_rows(dev, inst)
+        fv = _apply_inst_points(rows, fv)
+        fn = _apply_inst_normals(rows, fn)
 
     w0 = (1.0 - bary_u - bary_v)[..., None]
     w1 = bary_u[..., None]
@@ -433,11 +485,11 @@ def sample_position_on_light(dev, u, v2):
     light_idx = jnp.clip(
         (u * n_lights).astype(jnp.int32), 0, max(n_lights - 1, 0)
     )
-    face = dev["lights"][light_idx]
-    small = dev.get("use_dense", False)
-    fv = gather_rows(dev["face_verts"], face, small)
-    fn = gather_rows(dev["face_normals"], face, small)
-    fuv = gather_rows(dev["face_uvs"], face, small)
+    # world-space light SoA (scene/device.py): small tables, one-hot gather;
+    # valid for instanced scenes where face tables are object-space
+    fv = gather_rows(dev["light_verts"], light_idx, True)
+    fn = gather_rows(dev["light_normals"], light_idx, True)
+    fuv = gather_rows(dev["light_uvs"], light_idx, True)
 
     bary = sample_triangle(v2)
     w0 = (1.0 - bary[..., 0] - bary[..., 1])[..., None]
@@ -447,7 +499,9 @@ def sample_position_on_light(dev, u, v2):
     n = w0 * fn[:, 0] + w1 * fn[:, 1] + w2 * fn[:, 2]
     texcoord = w0 * fuv[:, 0] + w1 * fuv[:, 1] + w2 * fuv[:, 2]
     area = 0.5 * length(cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]))
-    le = get_emission(dev, gather_rows(dev["face_mat"], face, small), texcoord)
+    le = get_emission(
+        dev, gather_rows(dev["light_mat"], light_idx, True), texcoord
+    )
     pdf = 1.0 / (n_lights * jnp.maximum(area, 1e-12))
     return p, n, le, pdf
 
@@ -591,7 +645,8 @@ def render_sample(dev: Dict, params: Dict, n_spp):
 
         # --- surface + shading params
         surf = fill_surface_info(
-            dev, hit["prim"], hit["u"], hit["v"], state["direction"]
+            dev, hit["prim"], hit["u"], hit["v"], state["direction"],
+            inst=hit.get("inst"),
         )
         sp = fill_shading_params(dev, surf)
         tangent, normal, bitangent = apply_normal_mapping(dev, surf)
@@ -752,6 +807,10 @@ def render_sample(dev: Dict, params: Dict, n_spp):
         fv = gather_rows(dev["face_verts"], lsurf_prim, small)
         fn = gather_rows(dev["face_normals"], lsurf_prim, small)
         fuv = gather_rows(dev["face_uvs"], lsurf_prim, small)
+        if "inst_table" in dev and "inst" in lhit:
+            lrows = _gather_inst_rows(dev, lhit["inst"])
+            fv = _apply_inst_points(lrows, fv)
+            fn = _apply_inst_normals(lrows, fn)
         lw0 = (1.0 - lhit["u"] - lhit["v"])[..., None]
         lw1 = lhit["u"][..., None]
         lw2 = lhit["v"][..., None]

@@ -170,9 +170,18 @@ class Renderer:
 
     # -- scene ------------------------------------------------------------
 
-    def set_scene(self, scene: Scene):
+    def set_scene(self, scene):
+        """Accepts a flattened Scene or an InstancedScene (two-level
+        TLAS/BLAS with shared geometry, the IAS analog)."""
+        from .scene.types import InstancedScene
+
         self.scene = scene
-        self._dev = build_device_scene(scene)
+        if isinstance(scene, InstancedScene):
+            from .scene.device import build_instanced_device_scene
+
+            self._dev = build_instanced_device_scene(scene)
+        else:
+            self._dev = build_device_scene(scene)
         # material/texture-derived statics are scene constants: computed
         # once here, not on every render() (texture alpha scans are O(texels))
         self._scene_static = {
@@ -186,8 +195,22 @@ class Renderer:
             "lobes_on": _scene_lobes(scene),
             "has_alpha": _scene_has_alpha(scene),
         }
-        if scene.has_camera_transform and scene.camera_transform is not None:
+        if (
+            getattr(scene, "has_camera_transform", False)
+            and scene.camera_transform is not None
+        ):
             self.camera.set_transform(scene.camera_transform)
+        self.init_render_states()
+
+    def set_instance_transforms(self, transforms):
+        """Move an InstancedScene's instances: O(I) host update of the
+        TLAS instance arrays + shade transform table + lights; geometry
+        stays on device (renderer.h:614-640 set_time IAS rebuild analog)."""
+        from .scene.device import update_instance_transforms
+
+        assert self._dev is not None and self._dev.get("_instanced", False)
+        self._dev = update_instance_transforms(self._dev, transforms)
+        self.scene = self._dev["_host"]["scene"]
         self.init_render_states()
 
     def load_scene(self, filepath: str, clear: bool = True):
@@ -328,8 +351,12 @@ class Renderer:
             any_normalmap=ss["any_normalmap"],
             any_textures=ss["any_textures"],
             # dense all-triangles intersection wins on TPU for small scenes
-            # (regular streaming beats irregular BVH gathers)
-            use_dense=self._dev["n_faces"] <= self.dense_threshold,
+            # (regular streaming beats irregular BVH gathers); instanced
+            # scenes have no flattened tri_soa and always trace the TLAS
+            use_dense=(
+                self._dev["n_faces"] <= self.dense_threshold
+                and not self._dev.get("_instanced", False)
+            ),
             use_pallas=self.use_pallas,
             lobes_on=ss["lobes_on"],
             has_alpha=ss["has_alpha"],
@@ -338,10 +365,13 @@ class Renderer:
             # Million-tri scenes skip the skip-link build (bvh is None) and
             # MUST take this path even off-TPU (interpreter mode)
             use_clustered=(
-                (self.use_pallas or self._dev.get("bvh") is None)
-                and self._dev["n_faces"] > self.dense_threshold
-                and self._dev.get("_n_superclusters", 1 << 30) <= 4096
-                and self._dev.get("_n_instances", 1) <= 1024
+                self._dev.get("_instanced", False)
+                or (
+                    (self.use_pallas or self._dev.get("bvh") is None)
+                    and self._dev["n_faces"] > self.dense_threshold
+                    and self._dev.get("_n_superclusters", 1 << 30) <= 4096
+                    and self._dev.get("_n_instances", 1) <= 1024
+                )
             ),
             inst_identity=self._dev.get("_inst_identity", True),
             use_ibl_is=(

@@ -61,6 +61,26 @@ SKIPLINK_MAX_FACES = 300_000
 DENSE_MAX_FACES = 4_096
 
 
+def _light_soa(lv, ln, luv, lmat) -> Dict[str, np.ndarray]:
+    """World-space emissive-face SoA for NEE sampling (numpy).
+
+    lv/ln: [L,3,3], luv: [L,3,2], lmat: [L]. Always at least one row so
+    jit shapes stay static when a scene has no area lights."""
+    n = max(len(lv), 1)
+    out = {
+        "light_verts": np.zeros((n, 3, 3), np.float32),
+        "light_normals": np.zeros((n, 3, 3), np.float32),
+        "light_uvs": np.zeros((n, 3, 2), np.float32),
+        "light_mat": np.zeros((n,), np.int32),
+    }
+    if len(lv):
+        out["light_verts"][:] = lv
+        out["light_normals"][:] = ln
+        out["light_uvs"][:] = luv
+        out["light_mat"][:] = lmat
+    return out
+
+
 def build_device_scene(scene: Scene) -> Dict:
     """Full device scene dict consumed by the integrator.
 
@@ -88,22 +108,17 @@ def build_device_scene(scene: Scene) -> Dict:
 
     lights = scene.emissive_faces().astype(np.int32)
 
-    # one concatenated per-face attribute table: a single one-hot matmul
-    # gather fetches verts(9) + normals(9) + uvs(6) + mat(1) at once
-    face_flat = np.concatenate(
-        [
-            fd["verts"].reshape(-1, 9),
-            fd["normals"].reshape(-1, 9),
-            fd["uvs"].reshape(-1, 6),
-            mat_ids[:, None].astype(np.float32),
-        ],
-        axis=1,
-    ).astype(np.float32)
-
     # cluster hierarchy: baked geometry = one BLAS + one identity instance
     # (the TLAS analog; true N-instance mode arrives via instanced scenes)
     tlas = build_tlas(
         [extract_hierarchy(bvh, v0, e1, e2)], [(0, np.eye(4))]
+    )
+
+    # explicit world-space light SoA: NEE sampling never gathers through
+    # the (possibly object-space, instanced) face tables
+    lsoa = _light_soa(
+        fd["verts"][lights], fd["normals"][lights], fd["uvs"][lights],
+        mat_ids[lights],
     )
 
     # numpy-first staging dict for the fused-table builders
@@ -113,7 +128,7 @@ def build_device_scene(scene: Scene) -> Dict:
         "face_uvs": fd["uvs"],
         "face_mat": mat_ids,
         "materials": mats,
-        "lights": lights,
+        **lsoa,
     }
     from ..fused.pt_fused import (
         build_fused_mat_table,
@@ -131,11 +146,9 @@ def build_device_scene(scene: Scene) -> Dict:
         "face_verts": jnp.asarray(fd["verts"]),
         "face_normals": jnp.asarray(fd["normals"]),
         "face_uvs": jnp.asarray(fd["uvs"]),
-        "face_flat": jnp.asarray(face_flat),
         "face_mat": jnp.asarray(mat_ids),
         "materials": {k: jnp.asarray(v) for k, v in mats.items()},
         "textures": pack_textures(scene.textures),
-        "lights": jnp.asarray(lights),
         "n_lights": int(lights.shape[0]),
         "n_faces": n_faces,
         "fused_table": jnp.asarray(fused_table),
@@ -146,6 +159,7 @@ def build_device_scene(scene: Scene) -> Dict:
         "_n_superclusters": tlas.n_superclusters,
         "_n_instances": tlas.n_instances,
     }
+    dev.update({k: jnp.asarray(v) for k, v in lsoa.items()})
     if n_faces <= DENSE_MAX_FACES:
         dev["tri_soa"] = prepare_tri_soa(v0, e1, e2)
     # host-side handles for animation refresh
@@ -185,22 +199,18 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
     mat_ids = np.clip(
         host_scene.material_ids, 0, max(len(host_scene.materials), 1) - 1
     ).astype(np.int32)
-    new["face_flat"] = jnp.asarray(
-        np.concatenate(
-            [
-                fd["verts"].reshape(-1, 9),
-                fd["normals"].reshape(-1, 9),
-                fd["uvs"].reshape(-1, 6),
-                mat_ids[:, None].astype(np.float32),
-            ],
-            axis=1,
-        ).astype(np.float32)
-    )
     from ..fused.pt_fused import (
         build_fused_mat_table,
         build_fused_table,
         build_light_table,
     )
+
+    lights = host_scene.emissive_faces().astype(np.int32)
+    lsoa = _light_soa(
+        fd["verts"][lights], fd["normals"][lights], fd["uvs"][lights],
+        mat_ids[lights],
+    )
+    new.update({k: jnp.asarray(v) for k, v in lsoa.items()})
 
     # numpy-first (see build_device_scene): never read device arrays back
     np_dev = {
@@ -209,9 +219,230 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
         "face_uvs": fd["uvs"],
         "face_mat": mat_ids,
         "materials": {k: np.asarray(v) for k, v in dev["materials"].items()},
-        "lights": np.asarray(dev["lights"]),
+        **lsoa,
     }
     new["fused_table"] = jnp.asarray(build_fused_table(np_dev))
     new["fused_mat_table"] = jnp.asarray(build_fused_mat_table(np_dev))
     new["light_table"] = jnp.asarray(build_light_table(np_dev))
+    return new
+
+
+# ---------------------------------------------------------------------------
+# instanced scenes: two-level TLAS/BLAS with shared geometry
+
+
+def _instance_table(instances) -> np.ndarray:
+    """[I, 24] float32 per-instance shade-time transforms: cols 0:12 the
+    object-to-world affine [3,4] rows (vertices), cols 12:21 the normal
+    matrix (inverse-transpose rotation), rest padding. Gathered per hit by
+    instance id (a tiny one-hot matmul — I <= 1024)."""
+    n = len(instances)
+    out = np.zeros((n, 24), np.float32)
+    for i, (_, m4) in enumerate(instances):
+        m4 = np.asarray(m4, np.float64)
+        out[i, 0:12] = m4[:3, :].reshape(-1).astype(np.float32)
+        out[i, 12:21] = (
+            np.linalg.inv(m4[:3, :3]).T.reshape(-1).astype(np.float32)
+        )
+    return out
+
+
+def build_instanced_device_scene(iscene) -> Dict:
+    """InstancedScene -> device dict: one BLAS per referenced submesh,
+    TLAS instance table, OBJECT-space attribute tables indexed by the
+    global base-scene face id the traversal reports, and a per-instance
+    shade-time transform table.
+
+    TPU-native analog of build_ias (renderer.h:498-552): device geometry
+    is O(unique geometry); moving instances is an O(I) host update
+    (`update_instance_transforms`), not an O(F) rebuild.
+    """
+    from .types import InstancedScene
+
+    assert iscene.is_valid(), "invalid instanced scene"
+    base = iscene.base
+    fd = world_face_data(base)  # base transforms are normally identity
+    vw = fd["verts"]
+    n_faces = int(base.n_faces())
+
+    v0 = vw[:, 0]
+    e1 = vw[:, 1] - vw[:, 0]
+    e2 = vw[:, 2] - vw[:, 0]
+
+    mats = materials_to_soa(base.materials)
+    n_mats = len(base.materials) if base.materials else 1
+    mat_ids = np.clip(base.material_ids, 0, n_mats - 1).astype(np.int32)
+
+    referenced = sorted({mi.submesh for mi in iscene.instances})
+    blas_list = []
+    blas_of_submesh = {}
+    for s in referenced:
+        off = int(base.submesh_offsets[s])
+        cnt = int(base.submesh_n_faces[s])
+        sl = slice(off, off + cnt)
+        lo = np.minimum(np.minimum(v0[sl], v0[sl] + e1[sl]), v0[sl] + e2[sl])
+        hi = np.maximum(np.maximum(v0[sl], v0[sl] + e1[sl]), v0[sl] + e2[sl])
+        bvh = build_bvh(lo, hi, thread=False)
+        blas_of_submesh[s] = len(blas_list)
+        blas_list.append(
+            extract_hierarchy(
+                bvh, v0[sl], e1[sl], e2[sl],
+                prim_ids=np.arange(off, off + cnt, dtype=np.int64),
+            )
+        )
+    instances = [
+        (blas_of_submesh[mi.submesh], np.asarray(mi.transform, np.float32))
+        for mi in iscene.instances
+    ]
+    tlas = build_tlas(blas_list, instances)
+
+    # world-space lights: every placed copy of an emissive face
+    emissive = base.emissive_faces()
+    lv, ln, luv, lm = [], [], [], []
+    for s, m4 in [(mi.submesh, mi.transform) for mi in iscene.instances]:
+        off = int(base.submesh_offsets[s])
+        cnt = int(base.submesh_n_faces[s])
+        le_f = emissive[(emissive >= off) & (emissive < off + cnt)]
+        if len(le_f) == 0:
+            continue
+        m4 = np.asarray(m4, np.float32)
+        r, t = m4[:3, :3], m4[:3, 3]
+        nrm = np.linalg.inv(m4[:3, :3]).T.astype(np.float32)
+        fv = fd["verts"][le_f]  # [l, 3, 3]
+        fn = fd["normals"][le_f]
+        wv = np.einsum("ij,fkj->fki", r, fv) + t
+        wn = np.einsum("ij,fkj->fki", nrm, fn)
+        wn = wn / np.maximum(
+            np.linalg.norm(wn, axis=-1, keepdims=True), 1e-12
+        )
+        lv.append(wv.astype(np.float32))
+        ln.append(wn.astype(np.float32))
+        luv.append(fd["uvs"][le_f])
+        lm.append(mat_ids[le_f])
+    n_lights = sum(len(a) for a in lv)
+    cat = (lambda xs, sh, dt: np.concatenate(xs) if xs
+           else np.zeros(sh, dt))
+    lsoa = _light_soa(
+        cat(lv, (0, 3, 3), np.float32), cat(ln, (0, 3, 3), np.float32),
+        cat(luv, (0, 3, 2), np.float32), cat(lm, (0,), np.int32),
+    )
+
+    np_dev = {
+        "face_verts": fd["verts"],
+        "face_normals": fd["normals"],
+        "face_uvs": fd["uvs"],
+        "face_mat": mat_ids,
+        "materials": mats,
+        **lsoa,
+    }
+    from ..fused.pt_fused import (
+        build_fused_mat_table,
+        build_fused_table,
+        build_light_table,
+    )
+
+    dev = {
+        "bvh": None,
+        "clusters": prepare_clustered(tlas),
+        "inst_table": jnp.asarray(_instance_table(instances)),
+        "face_verts": jnp.asarray(fd["verts"]),
+        "face_normals": jnp.asarray(fd["normals"]),
+        "face_uvs": jnp.asarray(fd["uvs"]),
+        "face_mat": jnp.asarray(mat_ids),
+        "materials": {k: jnp.asarray(v) for k, v in mats.items()},
+        "textures": pack_textures(base.textures),
+        "n_lights": int(n_lights),
+        "n_faces": n_faces,
+        "fused_table": jnp.asarray(build_fused_table(np_dev)),
+        "fused_mat_table": jnp.asarray(build_fused_mat_table(np_dev)),
+        "light_table": jnp.asarray(build_light_table(np_dev)),
+        "_inst_identity": tlas.inst_identity,
+        "_n_superclusters": tlas.n_superclusters,
+        "_n_instances": tlas.n_instances,
+        "_instanced": True,
+    }
+    dev.update({k: jnp.asarray(v) for k, v in lsoa.items()})
+    dev["_host"] = {
+        "scene": iscene,
+        "blas_list": blas_list,
+        "blas_of_submesh": blas_of_submesh,
+        "fd": fd,
+        "mat_ids": mat_ids,
+    }
+    return dev
+
+
+def update_instance_transforms(dev: Dict, transforms) -> Dict:
+    """Move instances without touching geometry: O(I) host work rebuilds
+    only the TLAS instance arrays, the shade-time transform table, and the
+    light list (set_time analog for instanced scenes, renderer.h:614-640).
+
+    transforms: sequence of 4x4, one per instance (order preserved)."""
+    host = dev["_host"]
+    iscene = host["scene"]
+    assert len(transforms) == len(iscene.instances)
+    from .types import InstancedScene, MeshInstance
+
+    new_scene = InstancedScene(
+        base=iscene.base,
+        instances=[
+            MeshInstance(mi.submesh, np.asarray(m, np.float32))
+            for mi, m in zip(iscene.instances, transforms)
+        ],
+    )
+    from ..accel.cluster import update_tlas_instances
+
+    instances = [
+        (host["blas_of_submesh"][mi.submesh], mi.transform)
+        for mi in new_scene.instances
+    ]
+    new = dict(dev)
+    new["clusters"] = update_tlas_instances(
+        dev["clusters"], host["blas_list"], instances
+    )
+    new["inst_table"] = jnp.asarray(_instance_table(instances))
+    identity = all(
+        np.allclose(m, np.eye(4), atol=1e-7) for _, m in instances
+    )
+    new["_inst_identity"] = identity
+
+    # refresh world-space lights (O(#emissive x I))
+    base = new_scene.base
+    fd = host["fd"]
+    mat_ids = host["mat_ids"]
+    emissive = base.emissive_faces()
+    lv, ln, luv, lm = [], [], [], []
+    for mi in new_scene.instances:
+        off = int(base.submesh_offsets[mi.submesh])
+        cnt = int(base.submesh_n_faces[mi.submesh])
+        le_f = emissive[(emissive >= off) & (emissive < off + cnt)]
+        if len(le_f) == 0:
+            continue
+        m4 = np.asarray(mi.transform, np.float32)
+        r, t = m4[:3, :3], m4[:3, 3]
+        nrm = np.linalg.inv(m4[:3, :3]).T.astype(np.float32)
+        wv = np.einsum("ij,fkj->fki", r, fd["verts"][le_f]) + t
+        wn = np.einsum("ij,fkj->fki", nrm, fd["normals"][le_f])
+        wn = wn / np.maximum(
+            np.linalg.norm(wn, axis=-1, keepdims=True), 1e-12
+        )
+        lv.append(wv.astype(np.float32))
+        ln.append(wn.astype(np.float32))
+        luv.append(fd["uvs"][le_f])
+        lm.append(mat_ids[le_f])
+    cat = (lambda xs, sh, dt: np.concatenate(xs) if xs
+           else np.zeros(sh, dt))
+    lsoa = _light_soa(
+        cat(lv, (0, 3, 3), np.float32), cat(ln, (0, 3, 3), np.float32),
+        cat(luv, (0, 3, 2), np.float32), cat(lm, (0,), np.int32),
+    )
+    new.update({k: jnp.asarray(v) for k, v in lsoa.items()})
+    from ..fused.pt_fused import build_light_table
+
+    np_dev = {
+        "materials": {k: np.asarray(v) for k, v in dev["materials"].items()},
+        **lsoa,
+    }
+    new["light_table"] = jnp.asarray(build_light_table(np_dev))
+    new["_host"] = {**host, "scene": new_scene}
     return new
