@@ -30,10 +30,14 @@ import numpy as np
 
 from .bvh import BVH
 
-CLUSTER_SIZE = 256
-# v0.xyz, e1.xyz, e2.xyz, prim_id (+ padding rows: DMA slices must be
-# 8-row aligned on TPU)
+CLUSTER_SIZE = 128
+# v0.xyz, e1.xyz, e2.xyz, prim_id, then rows 10-15 hold the 16-triangle
+# SUB-GROUP AABBs (component c of group g at [10+c, g]) — a third gating
+# level inside the cluster so a tile grazed by few rays skips most of the
+# triangle sweep. (DMA slices must be 8-row aligned on TPU.)
 TRI_COMPONENTS = 16
+TRI_GROUP = 16
+N_TRI_GROUPS = CLUSTER_SIZE // TRI_GROUP
 # member-cluster groups are padded to one 128-lane DMA slice
 SC_GROUP = 128
 # supercluster cut target: small groups keep the unordered member sweep
@@ -171,16 +175,29 @@ def extract_hierarchy(
     if prim_ids is None:
         prim_ids = np.arange(tri_v0.shape[0], dtype=np.int64)
     blocks = np.zeros((TRI_COMPONENTS, k * CLUSTER_SIZE), np.float32)
+    # empty sub-groups must fail every slab test
+    blocks[10:13, :] = 1e30
+    blocks[13:16, :] = -1e30
     for ci, node in enumerate(cluster_nodes):
         st = int(starts[node])
         c = int(counts[node])
         prim = bvh.prim_order[st : st + c]
         base = ci * CLUSTER_SIZE
-        blocks[0:3, base : base + c] = tri_v0[prim].T
-        blocks[3:6, base : base + c] = tri_e1[prim].T
-        blocks[6:9, base : base + c] = tri_e2[prim].T
+        v0 = tri_v0[prim]
+        e1c = tri_e1[prim]
+        e2c = tri_e2[prim]
+        blocks[0:3, base : base + c] = v0.T
+        blocks[3:6, base : base + c] = e1c.T
+        blocks[6:9, base : base + c] = e2c.T
         blocks[9, base : base + c] = prim_ids[prim].astype(np.float32)
         blocks[9, base + c : base + CLUSTER_SIZE] = -1.0
+        # 16-triangle sub-group AABBs (BVH leaf order keeps groups tight)
+        lo3 = np.minimum(np.minimum(v0, v0 + e1c), v0 + e2c)
+        hi3 = np.maximum(np.maximum(v0, v0 + e1c), v0 + e2c)
+        for g in range((c + TRI_GROUP - 1) // TRI_GROUP):
+            gs = slice(g * TRI_GROUP, min((g + 1) * TRI_GROUP, c))
+            blocks[10:13, base + g] = lo3[gs].min(axis=0)
+            blocks[13:16, base + g] = hi3[gs].max(axis=0)
 
     sc_order, sc_key = _direction_orders(sc_aabb)
     return Hierarchy(
