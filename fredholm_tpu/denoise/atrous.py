@@ -110,14 +110,32 @@ def _bilinear_upscale2x(img):
 class Denoiser:
     """API-compatible analog of fredholm::Denoiser (denoiser.h:14-146).
 
+    `mode`: "auto" uses the learned guided U-Net (denoise/unet.py, the AI
+    denoiser analog) when its weight asset exists AND albedo+normal guides
+    are provided, else the edge-avoiding A-Trous filter; "unet"/"atrous"
+    force one.
+
     `upscale=True` mirrors the OptiX 2x-upscale denoiser model
     (denoiser.h:42-48): output is 2*width x 2*height (bilinear upsample
-    followed by the guided A-Trous pass)."""
+    followed by the guided denoise pass)."""
 
-    def __init__(self, width: int, height: int, upscale: bool = False):
+    def __init__(self, width: int, height: int, upscale: bool = False,
+                 mode: str = "auto"):
         self.width = width
         self.height = height
         self.upscale = upscale
+        assert mode in ("auto", "unet", "atrous")
+        self.mode = mode
+        self._unet_params = None
+        if mode in ("auto", "unet"):
+            from .unet import load_params
+
+            self._unet_params = load_params()
+            if mode == "unet":
+                assert self._unet_params is not None, (
+                    "denoiser_unet.npz asset missing — run "
+                    "tools/train_denoiser.py"
+                )
 
     def denoise(self, beauty, normal=None, albedo=None, position=None):
         img = jnp.asarray(beauty).reshape(self.height, self.width, -1)[..., :3]
@@ -130,7 +148,21 @@ class Denoiser:
 
         if self.upscale:
             img = _bilinear_upscale2x(img)
-        out = atrous_denoise(
-            img, guide(normal), guide(albedo), guide(position)
+
+        use_unet = (
+            self.mode in ("auto", "unet")
+            and self._unet_params is not None
+            and normal is not None
+            and albedo is not None
         )
+        if use_unet:
+            from .unet import denoise_image
+
+            out = denoise_image(
+                self._unet_params, img, guide(albedo), guide(normal)
+            )
+        else:
+            out = atrous_denoise(
+                img, guide(normal), guide(albedo), guide(position)
+            )
         return out.reshape(-1, 3)
