@@ -73,6 +73,10 @@ BUILTIN_SCENES = {
     "coat_white_furnace_test": lambda: procedural.furnace_sphere(
         procedural.Material(base_color=(1, 1, 1), diffuse=0.0, coat=1.0)
     ),
+    # million-triangle scene class (San Miguel/Rungholt analog,
+    # controller.h:31-43) through the supercluster traversal
+    "terrain_1m": lambda: procedural.terrain(),
+    "terrain_100k": lambda: procedural.terrain(n=224),
 }
 
 
