@@ -213,6 +213,14 @@ class Renderer:
         self.scene = self._dev["_host"]["scene"]
         self.init_render_states()
 
+    def load_scene_instanced(self, filepath: str):
+        """Load a .gltf/.glb as an InstancedScene: glTF nodes sharing a
+        mesh share one BLAS (the reference's IAS-from-glTF path,
+        renderer.h:498-552); device memory is O(unique geometry)."""
+        from .scene.instanced_loader import load_gltf_instanced
+
+        self.set_scene(load_gltf_instanced(filepath))
+
     def load_scene(self, filepath: str, clear: bool = True):
         """Load .obj or .gltf (renderer.h:354, scene.cpp:103-117)."""
         from .scene.loaders import load_model

@@ -252,3 +252,11 @@ class InstancedScene:
     @property
     def textures(self):
         return self.base.textures
+
+    @property
+    def has_camera_transform(self):
+        return self.base.has_camera_transform
+
+    @property
+    def camera_transform(self):
+        return self.base.camera_transform
