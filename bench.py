@@ -79,7 +79,9 @@ def _sweep_scene(n_tris_target=100_000):
 def _timed_render(r, spp, max_depth):
     import numpy as np
 
-    r.render(n_samples=1, max_depth=max_depth)  # warmup/compile
+    # warmup: 2 spp so the regeneration chunk (n_samples >= 2 gate)
+    # compiles outside the timed section
+    r.render(n_samples=2, max_depth=max_depth)
     v0 = float(np.asarray(r.layers["n_path_vertices"]))
     t0 = time.time()
     r.render(n_samples=spp, max_depth=max_depth)

@@ -80,8 +80,17 @@ _GEOM_COL_NAMES: List[Tuple[str, int]] = [
     ("uv0", 2), ("uv1", 2), ("uv2", 2),
     ("area", 1), ("mat_id", 1),
 ]
+# texture kinds servable inside the fused pipeline (the fill_shading_params
+# overrides, pt.cu:181-280, minus alpha/normal/height which renderer gates)
+TEX_KINDS = (
+    "base_color", "specular_color", "specular_roughness", "metalness",
+    "metallic_roughness", "coat", "coat_roughness", "emission",
+)
+
 # material table: gathered by MAT_ID via a tiny [2N, M] one-hot matmul —
-# splitting halves the big matmul's width (was ~35% of per-bounce cost)
+# splitting halves the big matmul's width (was ~35% of per-bounce cost).
+# Each tx_* group is (texture_id, run_off, width, height, runs_per_row,
+# srgb) for the in-pipeline bilinear fetch (scene/texture.py run layout)
 _MAT_COL_NAMES: List[Tuple[str, int]] = [
     ("emission_color", 3), ("has_emission", 1),
     ("base_color", 3), ("diffuse", 1), ("diffuse_roughness", 1),
@@ -90,7 +99,7 @@ _MAT_COL_NAMES: List[Tuple[str, int]] = [
     ("transmission", 1), ("transmission_color", 3),
     ("sheen", 1), ("sheen_color", 3), ("sheen_roughness", 1),
     ("subsurface", 1), ("subsurface_color", 3), ("thin_walled", 1),
-]
+] + [("tx_" + kind, 6) for kind in TEX_KINDS]
 COL = {}
 _off = 0
 for _name, _w in _GEOM_COL_NAMES:
@@ -162,6 +171,23 @@ def build_fused_mat_table(dev: Dict) -> np.ndarray:
         "subsurface_color", "thin_walled",
     ):
         put(name, m[name])
+    # per-kind texture headers: (tid, off, w, h, rw, srgb); materials
+    # without the texture point at the fallback white row so the fetch is
+    # always addressable (callers mask on tid >= 0)
+    hdr = dev.get("tex_header")
+    if hdr is None:
+        hdr = np.zeros((1, 5), np.float32)
+    for kind in TEX_KINDS:
+        tid = np.asarray(m[kind + "_texture_id"]).astype(np.int32)
+        k = np.where(
+            (tid >= 0) & (tid < hdr.shape[0]), tid, hdr.shape[0] - 1
+        )
+        put(
+            "tx_" + kind,
+            np.concatenate(
+                [tid[:, None].astype(np.float32), hdr[k]], axis=1
+            ),
+        )
     return out
 
 
@@ -259,6 +285,9 @@ class FusedConfig(NamedTuple):
     has_dl: bool
     n_lights: int
     lobes_on: tuple
+    # texture kinds any scene material actually uses (subset of TEX_KINDS);
+    # empty tuple compiles the whole fetch machinery away
+    tex_kinds: tuple = ()
 
     @property
     def has_area(self) -> bool:
@@ -469,6 +498,121 @@ def _shading_params_from_attr(attr) -> Dict:
     }
 
 
+def fetch_texture_planes(dev, cfg: FusedConfig, attrs, w1, w2):
+    """Pre-fetch texture overrides into extra attr planes during the gather
+    stage (native gathers are illegal inside Pallas kernels; the shade
+    bodies consume these planes elementwise).
+
+    attrs: column dict from _gather_attrs (mutated in place); w1/w2: hit
+    barycentrics. Adds, per kind in cfg.tex_kinds, planes
+    tx_<kind>_{has,r,g,b}. One run-row gather per kind (scene/texture.py)."""
+    if not cfg.tex_kinds:
+        return
+    from ..scene.texture import sample_texture_hdr
+
+    w0 = 1.0 - w1 - w2
+    u = (
+        w0 * attrs[COL["uv0"]] + w1 * attrs[COL["uv1"]]
+        + w2 * attrs[COL["uv2"]]
+    )
+    v = (
+        w0 * attrs[COL["uv0"] + 1] + w1 * attrs[COL["uv1"] + 1]
+        + w2 * attrs[COL["uv2"] + 1]
+    )
+    uv = jnp.stack([u, v], axis=-1)
+    for kind in cfg.tex_kinds:
+        base = COL["tx_" + kind]
+        tid = attrs[base]
+        hdr_cols = tuple(attrs[base + i] for i in range(1, 6))
+        rgba = sample_texture_hdr(dev["textures"], tid, uv, hdr_cols)
+        # f32 (not bool): these planes may enter Pallas kernels as inputs
+        attrs["tx_" + kind + "_has"] = jnp.where(tid >= 0.0, 1.0, 0.0)
+        attrs["tx_" + kind + "_r"] = rgba[..., 0]
+        attrs["tx_" + kind + "_g"] = rgba[..., 1]
+        attrs["tx_" + kind + "_b"] = rgba[..., 2]
+
+
+def _apply_tex_overrides(cfg: FusedConfig, sp: Dict, attrs):
+    """fill_shading_params texture overrides (pt.py:335-384, pt.cu:181-280)
+    from pre-fetched planes — elementwise only, Pallas-legal."""
+    kinds = cfg.tex_kinds
+    if not kinds:
+        return
+
+    def has(k):
+        return attrs["tx_" + k + "_has"] > 0.0
+
+    def c3(k):
+        return V3(
+            attrs["tx_" + k + "_r"],
+            attrs["tx_" + k + "_g"],
+            attrs["tx_" + k + "_b"],
+        )
+
+    def c1(k, ch="r"):
+        return attrs["tx_" + k + "_" + ch]
+
+    if "base_color" in kinds:
+        sp["base_color"] = where3(
+            has("base_color"), c3("base_color"), sp["base_color"]
+        )
+    if "specular_color" in kinds:
+        sp["specular_color"] = where3(
+            has("specular_color"), c3("specular_color"), sp["specular_color"]
+        )
+    if "specular_roughness" in kinds:
+        sp["specular_roughness"] = jnp.where(
+            has("specular_roughness"),
+            jnp.clip(c1("specular_roughness"), 0.01, 1.0),
+            sp["specular_roughness"],
+        )
+    if "metalness" in kinds:
+        sp["metalness"] = jnp.where(
+            has("metalness"), c1("metalness"), sp["metalness"]
+        )
+    if "metallic_roughness" in kinds:
+        # glTF metallic-roughness packing (pt.cu:230-236): g=roughness,
+        # b=metalness
+        h = has("metallic_roughness")
+        sp["specular_roughness"] = jnp.where(
+            h,
+            jnp.clip(c1("metallic_roughness", "g"), 0.01, 1.0),
+            sp["specular_roughness"],
+        )
+        sp["metalness"] = jnp.where(
+            h,
+            jnp.clip(c1("metallic_roughness", "b"), 0.0, 1.0),
+            sp["metalness"],
+        )
+    if "coat" in kinds:
+        sp["coat"] = jnp.where(
+            has("coat"), jnp.clip(c1("coat"), 0.0, 1.0), sp["coat"]
+        )
+    if "coat_roughness" in kinds:
+        # reference quirk: reads channel .y of the coat-roughness texture
+        sp["coat_roughness"] = jnp.where(
+            has("coat_roughness"),
+            jnp.clip(c1("coat_roughness", "g"), 0.0, 1.0),
+            sp["coat_roughness"],
+        )
+
+
+def emission_from_attrs(cfg: FusedConfig, attrs) -> V3:
+    """Emission with optional emission-texture override (pt.cu:131-139)."""
+    le = _attr3(attrs, "emission_color")
+    if "emission" in cfg.tex_kinds:
+        le = where3(
+            attrs["tx_emission_has"] > 0.0,
+            V3(
+                attrs["tx_emission_r"],
+                attrs["tx_emission_g"],
+                attrs["tx_emission_b"],
+            ),
+            le,
+        )
+    return le
+
+
 def _select_light(light_table, n_lights: int, u1):
     """Unrolled light-row select by sampled index (pt.cu:282-322 head).
     light_table must support static scalar indexing [l, col]."""
@@ -520,7 +664,7 @@ def _resolve_pending(cfg: FusedConfig, sv, rad: V3, resolve: Dict) -> V3:
     l_emissive = (la[COL["has_emission"]] > 0.0) & (dot(-ldir, l_n) > 0.0)
     hit_light = l_hit & l_emissive
 
-    le_hit = _attr3(la, "emission_color")
+    le_hit = emission_from_attrs(cfg, la)
     le_miss = eval_sky_c(cfg, sv, ldir)
     le = where3(l_hit, where3(hit_light, le_hit, z3), le_miss)
 
@@ -608,6 +752,7 @@ def mega_body(
     tangent, bitangent = orthonormal_basis(n_s)
 
     sp = _shading_params_from_attr(rattr)
+    _apply_tex_overrides(cfg, sp, rattr)
 
     aovs = None
     if d == 0:
@@ -623,7 +768,7 @@ def mega_body(
         }
         emissive = rattr[COL["has_emission"]] > 0.0
         emit_now = capture & emissive
-        le0 = _attr3(rattr, "emission_color")
+        le0 = emission_from_attrs(cfg, rattr)
         rad = rad + where3(emit_now, thr * le0, z3)
         alive = alive & ~emit_now
 
@@ -994,6 +1139,7 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
         has_dl=params["has_directional_light"],
         n_lights=dev["n_lights"],
         lobes_on=dev.get("lobes_on", cbsdf.ALL_LOBES),
+        tex_kinds=dev.get("tex_kinds", ()),
     )
 
     from ..core.swizzle import swizzle_active, swizzled_pixel_coords, unswizzle
@@ -1075,6 +1221,11 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
                     [blk(hit_all["inst"], li), blk(hit_all["inst"], ri)]
                 )
             attrs2 = _gather_attrs(dev, prim2, inst=inst2)
+            fetch_texture_planes(
+                dev, cfg, attrs2,
+                jnp.concatenate([blk(hit_all["u"], li), rhit["u"]]),
+                jnp.concatenate([blk(hit_all["v"], li), rhit["v"]]),
+            )
             lattr = {c: v[:n] for c, v in attrs2.items()}
             rattr = {c: v[n:] for c, v in attrs2.items()}
             resolve = _make_resolve(
@@ -1085,6 +1236,7 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
             rattr = _gather_attrs(
                 dev, hit_all["prim"], inst=hit_all.get("inst")
             )
+            fetch_texture_planes(dev, cfg, rattr, rhit["u"], rhit["v"])
             resolve = {}
 
         state, rays, pending, aovs_d = _mega_tiled(
@@ -1112,6 +1264,10 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
     resolve["lattr"] = _gather_attrs(
         dev, blk(hit_all["prim"], li),
         inst=blk(hit_all["inst"], li) if "inst" in hit_all else None,
+    )
+    fetch_texture_planes(
+        dev, cfg, resolve["lattr"],
+        blk(hit_all["u"], li), blk(hit_all["v"], li),
     )
 
     rad = _final_tiled(cfg, sv, state, resolve, use_pk)

@@ -87,6 +87,8 @@ STATIC_DEV_KEYS = (
     "has_alpha",
     "use_clustered",
     "inst_identity",
+    # texture kinds the fused pipeline fetches in-pipeline (pt_fused.py)
+    "tex_kinds",
 )
 
 
@@ -330,6 +332,8 @@ def fill_shading_params(dev, surf):
         sp["subsurface"] = g("subsurface")
         sp["subsurface_color"] = g("subsurface_color")
         sp["thin_walled"] = g("thin_walled")
+        sp["thin_film_thickness"] = g("thin_film_thickness")
+        sp["thin_film_ior"] = g("thin_film_ior")
         return sp
 
     sp["base_color"] = fetch_or_constant(
@@ -391,6 +395,8 @@ def fill_shading_params(dev, surf):
     sp["subsurface"] = g("subsurface")
     sp["subsurface_color"] = g("subsurface_color")
     sp["thin_walled"] = g("thin_walled")
+    sp["thin_film_thickness"] = g("thin_film_thickness")
+    sp["thin_film_ior"] = g("thin_film_ior")
     return sp
 
 

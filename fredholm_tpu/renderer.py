@@ -50,6 +50,7 @@ class StaticConfig:
     use_fused: bool = False
     sampler_mode: str = "sobol_cmj"
     inst_identity: bool = True
+    tex_kinds: tuple = ()
 
 
 def static_dev_from_config(config: StaticConfig) -> Dict:
@@ -99,6 +100,20 @@ def _scene_has_alpha(scene) -> bool:
     return False
 
 
+def _scene_tex_kinds(scene) -> tuple:
+    """Texture kinds any material actually references — the fused pipeline
+    compiles exactly these fetches (fill_shading_params overrides,
+    pt.cu:181-280)."""
+    from .fused.pt_fused import TEX_KINDS
+
+    mats = scene.materials or []
+    return tuple(
+        kind
+        for kind in TEX_KINDS
+        if any(getattr(m, kind + "_texture_id", -1) >= 0 for m in mats)
+    )
+
+
 def _scene_lobes(scene) -> tuple:
     """Which BSDF lobes any material in the scene can activate — lets jit
     drop dead lobes' code entirely (see bsdf.setup)."""
@@ -125,6 +140,11 @@ def _scene_lobes(scene) -> tuple:
         lobes.append("diffuse_t")
     if any(m.diffuse > 0 for m in mats):
         lobes.append("diffuse_r")
+    # not a lobe of its own: switches the specular lobe's fresnel to the
+    # Airy thin-film term (bsdf.py; general path only — the fused gate
+    # excludes it)
+    if any(getattr(m, "thin_film_thickness", 0.0) > 0 for m in mats):
+        lobes.append("thin_film")
     return tuple(lobes)
 
 
@@ -160,6 +180,11 @@ class Renderer:
         # supported static envelope; set False to force the reference
         # wavefront integrator
         self.use_fused = True
+        # sample-slot regeneration (fused/pt_regen.py): dead lanes restart
+        # the pixel's next progressive sample in-place — the wavefront
+        # replacement for OptiX's SIMT scheduling. Produces the same sample
+        # stream; only the lane packing changes
+        self.use_regen = True
         # "sobol_cmj" (reference draw distribution, sampling.cu:19-45) or
         # "bluenoise" (screen-space blue-noise dithered Owen-Sobol,
         # blue-noise.cu made selectable for real)
@@ -194,6 +219,7 @@ class Renderer:
             "any_textures": len(scene.textures) > 0,
             "lobes_on": _scene_lobes(scene),
             "has_alpha": _scene_has_alpha(scene),
+            "tex_kinds": _scene_tex_kinds(scene),
         }
         if (
             getattr(scene, "has_camera_transform", False)
@@ -368,6 +394,7 @@ class Renderer:
             use_pallas=self.use_pallas,
             lobes_on=ss["lobes_on"],
             has_alpha=ss["has_alpha"],
+            tex_kinds=ss["tex_kinds"],
             # medium/large scenes: predicated three-level Pallas sweep
             # (SMEM supercluster AABBs cap the count at ~134M tris).
             # Million-tri scenes skip the skip-link build (bvh is None) and
@@ -392,7 +419,7 @@ class Renderer:
             use_fused=(
                 self.use_fused
                 and self.sampler_mode == "sobol_cmj"
-                and not ss["any_textures"]
+                and "thin_film" not in ss["lobes_on"]
                 and not ss["has_alpha"]
                 and not ss["any_heightmap"]
                 and not ss["any_normalmap"]
@@ -437,6 +464,16 @@ class Renderer:
         config = self._config(1, max_depth)
         arrays = self._arrays()
         dynamic = self._dynamic_params()
+        # regeneration wavefront: amortizes dead lanes across samples, so
+        # it needs >= 2 spp per call to have anything to refill with
+        if config.use_fused and self.use_regen and n_samples >= 2:
+            from .fused.pt_regen import render_progressive_regen
+
+            self.layers, self.sample_count = render_progressive_regen(
+                arrays, dynamic, config, self.layers, self.sample_count,
+                n_samples,
+            )
+            return self.layers
         for _ in range(n_samples):
             self.layers, self.sample_count = _render_jit(
                 arrays, dynamic, self.layers, self.sample_count, config

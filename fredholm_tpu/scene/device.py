@@ -22,7 +22,7 @@ from ..accel.cluster import build_tlas, extract_hierarchy
 from ..accel.pallas_clustered import prepare_clustered
 from ..accel.pallas_dense import prepare_tri_soa
 from ..accel.traverse import build_device_bvh
-from .texture import pack_textures
+from .texture import pack_textures, texture_headers_np
 from .types import Scene, materials_to_soa
 
 
@@ -128,6 +128,7 @@ def build_device_scene(scene: Scene) -> Dict:
         "face_uvs": fd["uvs"],
         "face_mat": mat_ids,
         "materials": mats,
+        "tex_header": texture_headers_np(scene.textures),
         **lsoa,
     }
     from ..fused.pt_fused import (
@@ -219,6 +220,7 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
         "face_uvs": fd["uvs"],
         "face_mat": mat_ids,
         "materials": {k: np.asarray(v) for k, v in dev["materials"].items()},
+        "tex_header": texture_headers_np(host_scene.textures),
         **lsoa,
     }
     new["fused_table"] = jnp.asarray(build_fused_table(np_dev))
@@ -333,6 +335,7 @@ def build_instanced_device_scene(iscene) -> Dict:
         "face_uvs": fd["uvs"],
         "face_mat": mat_ids,
         "materials": mats,
+        "tex_header": texture_headers_np(base.textures),
         **lsoa,
     }
     from ..fused.pt_fused import (

@@ -10,6 +10,9 @@ XLA_FLAGS must still be set before the first backend initialization.
 import os
 import sys
 
+# smaller regeneration chunks: much faster XLA:CPU compiles, same results
+os.environ.setdefault("FREDHOLM_REGEN_CHUNK", "4")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,3 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the regen/fused pipelines are expensive XLA:CPU
+# compiles (minutes on this 1-core box); cache them across test runs
+_cache = os.path.expanduser("~/.cache/jax_comp")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -58,6 +58,86 @@ class TestBaseColorTexture:
         assert pair[1][0] > 0.5 and pair[1][1] < 0.3, (a, b)
 
 
+class TestFusedTextures:
+    """In-pipeline texture fetch on the fused/regen fast paths must match
+    the general wavefront integrator (fill_shading_params overrides,
+    pt.cu:181-280)."""
+
+    def _scene(self):
+        rng = np.random.RandomState(7)
+        bc = np.zeros((16, 16, 4), np.uint8)
+        bc[..., 3] = 255
+        bc[:, :8, 0] = 255
+        bc[:, 8:, 2] = 200
+        bc[8:, :, 1] = 120
+        mr = np.zeros((8, 8, 4), np.uint8)
+        mr[..., 3] = 255
+        mr[..., 1] = rng.randint(40, 220, (8, 8))
+        mr[..., 2] = rng.randint(0, 255, (8, 8))
+        em = np.zeros((4, 4, 4), np.uint8)
+        em[..., 3] = 255
+        em[2:, 2:, 0] = 255
+        em[2:, 2:, 1] = 180
+        mats = [
+            Material(base_color_texture_id=0,
+                     metallic_roughness_texture_id=1),
+            Material(specular=0.0, emission_color=(1.0, 0.5, 0.2),
+                     emission_texture_id=2),
+        ]
+        v, n, t, f = _quad([-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0])
+        v2, n2, t2, f2 = _quad(
+            [-1, -1, -0.5], [1, -1, -0.5], [1, 1, -0.5], [-1, 1, -0.5]
+        )
+        return Scene(
+            vertices=np.concatenate([v, v2]),
+            normals=np.concatenate([n, n2]),
+            texcoords=np.concatenate([t, t2]),
+            indices=np.concatenate([f, f2 + len(v)]),
+            material_ids=np.asarray([0, 0, 1, 1], np.int32),
+            instance_ids=np.zeros((4,), np.int32),
+            materials=mats,
+            textures=[
+                TextureImage(data=bc, is_srgb=True),
+                TextureImage(data=mr, is_srgb=False),
+                TextureImage(data=em, is_srgb=False),
+            ],
+            transforms=np.eye(4, dtype=np.float32)[None],
+            submesh_offsets=[0],
+            submesh_n_faces=[4],
+        )
+
+    def _render(self, fused, regen, spp=2):
+        # width*height must be a multiple of 128 for the fused gate
+        r = Renderer(width=32, height=32)
+        r.use_pallas = False
+        r.use_fused = fused
+        r.use_regen = regen
+        r.set_scene(self._scene())
+        r.set_bg_color((0.3, 0.4, 0.5))
+        r.camera.origin = np.asarray([0.0, 0.0, 1.5], np.float32)
+        r.camera._update_transform()
+        cfg = r._config(1, 3)
+        assert cfg.use_fused == fused
+        if fused:
+            assert cfg.tex_kinds == (
+                "base_color", "metallic_roughness", "emission"
+            )
+        r.render(n_samples=spp, max_depth=3)
+        return {k: np.asarray(v) for k, v in r.layers.items()}
+
+    def test_fused_and_regen_match_general(self):
+        gen = self._render(False, False)
+        fus = self._render(True, False)
+        reg = self._render(True, True)
+        for k in ("beauty", "albedo", "depth", "normal"):
+            np.testing.assert_allclose(
+                gen[k], fus[k], rtol=2e-4, atol=5e-4, err_msg="fused " + k
+            )
+            np.testing.assert_allclose(
+                fus[k], reg[k], rtol=2e-4, atol=5e-4, err_msg="regen " + k
+            )
+
+
 class TestNormalMapping:
     def test_normal_map_tilts_shading_normal(self):
         # constant normal map pointing 45 degrees in tangent-u direction
