@@ -242,12 +242,19 @@ def _lobe_evals(ctx, wo, wi):
         f_metal, p_metal = z3, z1
 
     if "specular" in on:
-        f_spec = gate3(
-            spec_on,
-            lobes.microfacet_reflection_dielectric_eval(
+        if "thin_film" in on:
+            # Airy interference fresnel on the specular lobe
+            # (bxdf.cu:448-454); static-gated so film-free scenes compile
+            # none of it
+            f_spec_v = lobes.microfacet_reflection_thinfilm_eval(
+                ctx["eta"], sp["thin_film_ior"], sp["thin_film_thickness"],
+                ctx["spec_alpha"], wo, wi,
+            )
+        else:
+            f_spec_v = lobes.microfacet_reflection_dielectric_eval(
                 ctx["eta"], ctx["spec_alpha"], wo, wi
-            ),
-        )
+            )
+        f_spec = gate3(spec_on, f_spec_v)
         p_spec = gate1(
             spec_on,
             lobes.microfacet_reflection_dielectric_pdf(ctx["spec_alpha"], wo, wi),
@@ -404,9 +411,15 @@ def sample(ctx, wo, u, v):
     else:
         wi1, f1, p1 = z3, z3, z1
     if "specular" in on:
-        wi2, f2, p2 = lobes.microfacet_reflection_dielectric_sample(
-            ctx["eta"], ctx["spec_alpha"], wo, v
-        )
+        if "thin_film" in on:
+            wi2, f2, p2 = lobes.microfacet_reflection_thinfilm_sample(
+                ctx["eta"], sp["thin_film_ior"], sp["thin_film_thickness"],
+                ctx["spec_alpha"], wo, v,
+            )
+        else:
+            wi2, f2, p2 = lobes.microfacet_reflection_dielectric_sample(
+                ctx["eta"], ctx["spec_alpha"], wo, v
+            )
     else:
         wi2, f2, p2 = z3, z3, z1
     if "transmission" in on:

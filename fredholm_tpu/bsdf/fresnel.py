@@ -90,8 +90,13 @@ def fresnel_dielectric_polarized(cos, ior1, ior2):
 
 
 def fresnel_conductor_polarized(cos, ior1, ior2, k2):
-    """Returns (R_p, R_s, phi_p, phi_s) as [..., 3]; bxdf.cu:325-354."""
+    """Returns (R_p, R_s, phi_p, phi_s) as [..., 3]; bxdf.cu:325-354.
+
+    ior1 may be a per-lane [...] array (thin-film wiring passes the film
+    IOR per material); it is lifted to [..., 1] so every product with the
+    [..., 3] layer parameters broadcasts element-wise, never outer."""
     cos_ = cos[..., None]
+    ior1 = jnp.broadcast_to(jnp.asarray(ior1), cos.shape)[..., None]
     a = ior2 * ior2 * (1.0 - k2 * k2) - ior1 * ior1 * (1.0 - cos_ * cos_)
     b = jnp.sqrt(jnp.maximum(a * a + (2.0 * ior2 * ior2 * k2) ** 2, 0.0))
     u = jnp.sqrt(jnp.maximum(0.5 * (a + b), 0.0))
@@ -121,7 +126,9 @@ def fresnel_conductor_polarized(cos, ior1, ior2, k2):
 
     # pure-dielectric layers fall back to the scalar polarized formula
     is_dielectric = jnp.all(k2 == 0.0, axis=-1)
-    dp, ds, dphi_p, dphi_s = fresnel_dielectric_polarized(cos, ior1, ior2[..., 0])
+    dp, ds, dphi_p, dphi_s = fresnel_dielectric_polarized(
+        cos, ior1[..., 0], ior2[..., 0]
+    )
     R_p = jnp.where(is_dielectric[..., None], dp[..., None], R_p)
     R_s = jnp.where(is_dielectric[..., None], ds[..., None], R_s)
     phi_p = jnp.where(is_dielectric[..., None], dphi_p[..., None], phi_p)

@@ -21,7 +21,7 @@ from ..sampling.mappings import (
     sample_cosine_weighted_hemisphere,
     sample_vndf,
 )
-from .fresnel import fresnel_conductor, fresnel_dielectric
+from .fresnel import fresnel_airy, fresnel_conductor, fresnel_dielectric
 
 INV_PI = 1.0 / jnp.pi
 
@@ -205,6 +205,45 @@ def microfacet_reflection_dielectric_sample(ior, alpha, wo, u):
     wh = sample_vndf(wo, alpha, u)
     wi = reflect(wo, wh)
     f = microfacet_reflection_dielectric_eval(ior, alpha, wo, wi)
+    pdf = microfacet_reflection_dielectric_pdf(alpha, wo, wi)
+    return wi, f, pdf
+
+
+# ---------------------------------------------------------------------------
+# Microfacet reflection with thin-film Airy fresnel (bxdf.cu:428-457 with
+# thin_film_thickness > 0). Spectral (RGB) fresnel; per-lane thickness 0
+# falls back to the plain dielectric term so mixed wavefronts are exact.
+
+
+def microfacet_reflection_thinfilm_eval(
+    ior, tf_ior, tf_thickness, alpha, wo, wi
+):
+    wh = normalize(wo + wi, eps=1e-20)
+    cos_wh = jnp.abs(dot(wo, wh))
+    f_airy = fresnel_airy(
+        cos_wh,
+        jnp.ones_like(cos_wh),
+        tf_ior,
+        tf_thickness,
+        splat(jnp.broadcast_to(ior, cos_wh.shape)),
+        jnp.zeros(cos_wh.shape + (3,)),
+    )
+    f_plain = splat(fresnel_dielectric(cos_wh, ior))
+    f = jnp.where((tf_thickness > 0.0)[..., None], f_airy, f_plain)
+    d = ggx_d(wh, alpha)
+    g = ggx_g2(wo, wi, alpha)
+    denom = jnp.maximum(abs_cos_theta(wo) * abs_cos_theta(wi), 1e-8)
+    return f * (0.25 * d * g / denom)[..., None]
+
+
+def microfacet_reflection_thinfilm_sample(
+    ior, tf_ior, tf_thickness, alpha, wo, u
+):
+    wh = sample_vndf(wo, alpha, u)
+    wi = reflect(wo, wh)
+    f = microfacet_reflection_thinfilm_eval(
+        ior, tf_ior, tf_thickness, alpha, wo, wi
+    )
     pdf = microfacet_reflection_dielectric_pdf(alpha, wo, wi)
     return wi, f, pdf
 

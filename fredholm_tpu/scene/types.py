@@ -30,6 +30,11 @@ MATERIAL_SCALARS = [
     ("subsurface", 0.0),
     ("thin_walled", 0.0),
     ("emission", 0.0),
+    # thin-film interference on the specular lobe (bxdf.cu:434-454; the
+    # reference implements fresnel_airy but never passes these — here they
+    # are real material inputs)
+    ("thin_film_thickness", 0.0),
+    ("thin_film_ior", 1.5),
 ]
 MATERIAL_VECTORS = [
     ("base_color", (1.0, 1.0, 1.0)),
@@ -92,6 +97,11 @@ class Material:
     subsurface_color: tuple = (1.0, 1.0, 1.0)
 
     thin_walled: float = 0.0
+
+    # thin-film interference layer on the specular lobe; thickness in nm,
+    # 0 disables (bxdf.cu:434-454 latent path, wired for real here)
+    thin_film_thickness: float = 0.0
+    thin_film_ior: float = 1.5
 
     emission: float = 0.0
     emission_color: tuple = (0.0, 0.0, 0.0)
