@@ -59,6 +59,21 @@ LANES = 128
 SUBLANES = 16
 RAY_TILE = LANES * SUBLANES
 
+# perf-ablation hook (tools/probe_traversal.py): "notri" stubs the
+# Moller-Trumbore math, "nogrp" also skips the sub-group sweep, "noblkdma"
+# additionally skips the triangle-block DMA — isolates where traversal
+# time goes on real hardware. Production value is "".
+import os as _os
+
+_ABLATE = _os.environ.get("FREDHOLM_TRAV_ABLATE", "")
+# FREDHOLM_TRAV_STATS=1 adds per-tile visit counters (SMEM) to the kernel
+# outputs; intersect_*_clustered then return a "stats" vector
+# [inst_visits, sc_tests, sc_visits, cl_tests, cl_visits, grp_tests,
+#  grp_visits, tri_tests] summed over tiles (tools/probe_traversal.py)
+_STATS = _os.environ.get("FREDHOLM_TRAV_STATS", "") == "1"
+STAT_NAMES = ("inst_visits", "sc_tests", "sc_visits", "cl_tests",
+              "cl_visits", "grp_tests", "grp_visits", "tri_tests")
+
 _HBM_SPACE = getattr(pltpu, "HBM", getattr(pl, "ANY", pltpu.ANY))
 
 
@@ -147,14 +162,28 @@ def _mt_scalar(smem, i, ox, oy, oz, dx, dy, dz):
     return t, u, v, valid
 
 
-def _make_kernel(n_inst: int, identity: bool, any_hit: bool):
+def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
+                 stats: bool = False):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                inst_aabb, inst_minv, inst_sc, sc_aabb, sc_mcount,
                sc_order, sc_key,
                cl_meta_hbm, blocks_hbm,
                t_out, prim_out, u_out, v_out, inst_out,
-               best_t, best_prim, best_u, best_v, best_inst,
-               clm, smem, sem_m, sem_b):
+               *rest):
+        if stats:
+            stats_out = rest[0]
+            rest = rest[1:]
+        (best_t, best_prim, best_u, best_v, best_inst,
+         clm, smem, sem_m, sem_b) = rest
+
+        def bump(k):
+            if stats:
+                stats_out[0, k] = stats_out[0, k] + 1
+
+        if stats:
+            for _k in range(8):
+                stats_out[0, _k] = 0
+
         tmax = tmax_ref[:]
         alive = tmax > 0.0
         neg_big = jnp.float32(-1e30)
@@ -186,6 +215,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool):
 
                     @pl.when(jnp.any(ihit))
                     def _():
+                        bump(0)
                         if identity:
                             ox, oy, oz = wox, woy, woz
                             dx, dy, dz = wdx, wdy, wdz
@@ -245,6 +275,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool):
 
                         def sc_body(carry):
                             k, done = carry
+                            bump(1)
                             s = sc_order[o_id, sc_lo + k]
                             shit = alive & _slab_cols(
                                 sc_aabb, s, ox, oy, oz, *inv, best_t[:]
@@ -254,6 +285,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool):
 
                             @pl.when(jnp.any(shit))
                             def _():
+                                bump(2)
                                 dma_m = pltpu.make_async_copy(
                                     cl_meta_hbm.at[
                                         :, pl.ds(s * SC_GROUP, SC_GROUP)
@@ -265,6 +297,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool):
                                 dma_m.wait()
 
                                 def cl_body(j, _):
+                                    bump(3)
                                     bhit = _slab_cols(
                                         clm, j, ox, oy, oz, *inv, best_t[:]
                                     )
@@ -273,6 +306,10 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool):
 
                                     @pl.when(jnp.any(bhit))
                                     def _():
+                                        bump(4)
+                                        if _ABLATE == "noblkdma":
+                                            best_u[:] = best_u[:] + 1e-30
+                                            return
                                         cid = clm[7, j].astype(jnp.int32)
                                         dma_b = pltpu.make_async_copy(
                                             blocks_hbm.at[
@@ -290,6 +327,13 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool):
                                         cnt = clm[6, j].astype(jnp.int32)
 
                                         def tri_body(kk, _):
+                                            bump(7)
+                                            if _ABLATE == "notri":
+                                                best_u[:] = (
+                                                    best_u[:]
+                                                    + smem[0, kk] * 1e-30
+                                                )
+                                                return 0
                                             t, u, v, valid = _mt_scalar(
                                                 smem, kk, ox, oy, oz, dx, dy, dz
                                             )
@@ -330,6 +374,13 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool):
                                         ) // TRI_GROUP
 
                                         def grp_body(g, _):
+                                            bump(5)
+                                            if _ABLATE == "nogrp":
+                                                best_u[:] = (
+                                                    best_u[:]
+                                                    + smem[10, g] * 1e-30
+                                                )
+                                                return 0
                                             ghit = _slab(
                                                 smem[10, g], smem[11, g],
                                                 smem[12, g], smem[13, g],
@@ -343,6 +394,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool):
 
                                             @pl.when(jnp.any(ghit))
                                             def _():
+                                                bump(6)
                                                 base = g * TRI_GROUP
                                                 jax.lax.fori_loop(
                                                     base,
@@ -418,7 +470,7 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
     ray_spec = pl.BlockSpec(
         (sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    kernel = _make_kernel(n_inst, identity, any_hit)
+    kernel = _make_kernel(n_inst, identity, any_hit, stats=_STATS)
     out_shapes = [
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
@@ -426,6 +478,18 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
     ]
+    out_specs = [ray_spec] * 5
+    if _STATS:
+        # mosaic wants 8-divisible sublane blocks even in SMEM: each
+        # program gets an (8, 8) block and writes row 0; the host slices
+        # [::8]
+        out_shapes.append(
+            jax.ShapeDtypeStruct((grid[0] * 8, 8), jnp.int32)
+        )
+        out_specs.append(
+            pl.BlockSpec((8, 8), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM)
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -441,7 +505,7 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
             pl.BlockSpec(memory_space=_HBM_SPACE),  # cl_meta [8, S*128]
             pl.BlockSpec(memory_space=_HBM_SPACE),  # blocks [16, K*256]
         ],
-        out_specs=[ray_spec] * 5,
+        out_specs=out_specs,
         out_shape=out_shapes,
         # CPU (tests) runs the kernel in the pallas interpreter
         interpret=jax.default_backend() == "cpu",
@@ -481,12 +545,13 @@ def intersect_closest_clustered(dev_c: Dict, o, d, t_max,
     n = o.shape[0]
     tiles = _ray_tiles(o, d, t_max, _pad_size(n))
     n_inst = dev_c["inst_aabb"].shape[1]
-    t, prim, u, v, inst = _call(tiles, dev_c, n_inst, identity, False)
+    res = _call(tiles, dev_c, n_inst, identity, False)
+    t, prim, u, v, inst = res[:5]
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     miss = prim < 0
-    return {
+    out = {
         "t": jnp.where(miss, t_max_b, t),
         "prim": prim,
         "u": u.reshape(-1)[:n],
@@ -494,6 +559,9 @@ def intersect_closest_clustered(dev_c: Dict, o, d, t_max,
         "hit": ~miss,
         "inst": inst.reshape(-1)[:n],
     }
+    if _STATS:
+        out["stats"] = jnp.sum(res[5][::8], axis=0)
+    return out
 
 
 def intersect_any_clustered(dev_c: Dict, o, d, t_max,
@@ -501,5 +569,5 @@ def intersect_any_clustered(dev_c: Dict, o, d, t_max,
     n = o.shape[0]
     tiles = _ray_tiles(o, d, t_max, _pad_size(n))
     n_inst = dev_c["inst_aabb"].shape[1]
-    _, prim, _, _, _ = _call(tiles, dev_c, n_inst, identity, True)
+    prim = _call(tiles, dev_c, n_inst, identity, True)[1]
     return (prim.reshape(-1)[:n]) >= 0
