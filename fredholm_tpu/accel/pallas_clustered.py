@@ -326,61 +326,76 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                         dma_b.wait()
                                         cnt = clm[6, j].astype(jnp.int32)
 
-                                        def tri_body(kk, _):
-                                            bump(7)
-                                            if _ABLATE == "notri":
-                                                best_u[:] = (
-                                                    best_u[:]
-                                                    + smem[0, kk] * 1e-30
+                                        def grp_sweep(g):
+                                            """Statically-unrolled 16-tri
+                                            sweep with local best accumulation:
+                                            the dynamic per-triangle fori_loop
+                                            was iteration-overhead bound (~150
+                                            ns/iter on this chip dwarfing the
+                                            ~45-op MT math); a straight-line
+                                            block with static SMEM offsets and
+                                            ONE ref merge per group lets mosaic
+                                            pipeline the whole sweep."""
+                                            bump(6)
+                                            base = g * TRI_GROUP
+                                            gt = best_t[:]
+                                            gp = best_prim[:]
+                                            if not any_hit:
+                                                gu = best_u[:]
+                                                gv = best_v[:]
+                                            for k in range(TRI_GROUP):
+                                                bump(7)
+                                                kk = base + k
+                                                if _ABLATE == "notri":
+                                                    continue
+                                                t, u, v, valid = _mt_scalar(
+                                                    smem, kk,
+                                                    ox, oy, oz, dx, dy, dz,
                                                 )
-                                                return 0
-                                            t, u, v, valid = _mt_scalar(
-                                                smem, kk, ox, oy, oz, dx, dy, dz
-                                            )
-                                            improved = valid & (t < best_t[:])
-                                            if any_hit:
-                                                best_prim[:] = jnp.where(
-                                                    improved, smem[9, kk],
-                                                    best_prim[:],
+                                                improved = (
+                                                    valid & (t < gt)
+                                                    & (kk < cnt)
                                                 )
-                                            else:
-                                                best_prim[:] = jnp.where(
-                                                    improved, smem[9, kk],
-                                                    best_prim[:],
+                                                gp = jnp.where(
+                                                    improved, smem[9, kk], gp
                                                 )
-                                                best_u[:] = jnp.where(
-                                                    improved, u, best_u[:]
-                                                )
-                                                best_v[:] = jnp.where(
-                                                    improved, v, best_v[:]
-                                                )
-                                                best_t[:] = jnp.where(
-                                                    improved, t, best_t[:]
-                                                )
-                                                if n_inst > 1:
-                                                    best_inst[:] = jnp.where(
-                                                        improved,
-                                                        i.astype(jnp.float32),
-                                                        best_inst[:],
+                                                if not any_hit:
+                                                    gu = jnp.where(
+                                                        improved, u, gu
                                                     )
-                                            return 0
+                                                    gv = jnp.where(
+                                                        improved, v, gv
+                                                    )
+                                                    gt = jnp.where(
+                                                        improved, t, gt
+                                                    )
+                                            if not any_hit and n_inst > 1:
+                                                best_inst[:] = jnp.where(
+                                                    gt < best_t[:],
+                                                    i.astype(jnp.float32),
+                                                    best_inst[:],
+                                                )
+                                            best_prim[:] = gp
+                                            if not any_hit:
+                                                best_u[:] = gu
+                                                best_v[:] = gv
+                                                best_t[:] = gt
 
                                         # 16-tri sub-groups, each gated by its
                                         # own AABB (block rows 10-15): a tile
                                         # grazed by few rays skips most of the
-                                        # triangle sweep
-                                        n_grp = (
-                                            cnt + (TRI_GROUP - 1)
-                                        ) // TRI_GROUP
-
-                                        def grp_body(g, _):
+                                        # triangle sweep. Static loop: group
+                                        # AABB offsets are compile-time
+                                        # constants; empty tail groups are
+                                        # gated by the scalar cnt test
+                                        for g in range(N_TRI_GROUPS):
                                             bump(5)
                                             if _ABLATE == "nogrp":
                                                 best_u[:] = (
                                                     best_u[:]
                                                     + smem[10, g] * 1e-30
                                                 )
-                                                return 0
+                                                continue
                                             ghit = _slab(
                                                 smem[10, g], smem[11, g],
                                                 smem[12, g], smem[13, g],
@@ -392,22 +407,10 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                                     best_prim[:] < 0.0
                                                 )
 
-                                            @pl.when(jnp.any(ghit))
-                                            def _():
-                                                bump(6)
-                                                base = g * TRI_GROUP
-                                                jax.lax.fori_loop(
-                                                    base,
-                                                    jnp.minimum(
-                                                        base + TRI_GROUP, cnt
-                                                    ),
-                                                    tri_body,
-                                                    0,
-                                                )
-
-                                            return 0
-
-                                        jax.lax.fori_loop(0, n_grp, grp_body, 0)
+                                            pl.when(
+                                                jnp.any(ghit)
+                                                & (g * TRI_GROUP < cnt)
+                                            )(lambda g=g: grp_sweep(g))
 
                                     return 0
 
