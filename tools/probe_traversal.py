@@ -58,14 +58,17 @@ def main():
     bd[:, 1] = np.abs(bd[:, 1])
     bd /= np.linalg.norm(bd, axis=-1, keepdims=True)
 
-    def timed(name, o, d):
+    def timed(name, o, d, reps=3):
         oj, dj = jnp.asarray(o), jnp.asarray(d)
         r = pc.intersect_closest_clustered(clusters, oj, dj, 1e9)
         float(jnp.sum(r["t"] * 0))
-        t0 = time.time()
-        r = pc.intersect_closest_clustered(clusters, oj, dj, 1e9)
-        s = float(jnp.sum(jnp.where(r["hit"], 1.0, 0.0)))
-        dt = time.time() - t0
+        # min over reps: single-shot timings on the tunneled chip vary ~2x
+        dt = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            r = pc.intersect_closest_clustered(clusters, oj, dj, 1e9)
+            s = float(jnp.sum(jnp.where(r["hit"], 1.0, 0.0)))
+            dt = min(dt, time.time() - t0)
         print(
             f"{name}: {dt*1e3:7.1f} ms ({N/dt/1e6:5.2f} Mrays/s) "
             f"hits={s:.0f}", flush=True,
