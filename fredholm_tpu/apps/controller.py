@@ -61,6 +61,33 @@ BUILTIN_SCENES = {
     "transmission_test": lambda: procedural.sphere_array_test(
         "transmission", [0.0, 0.25, 0.5, 0.75, 1.0]
     ),
+    # transmission roughness rides specular_roughness in the Arnold
+    # material model (shared.h:123 has no separate field); the reference's
+    # transmission_roughness_test .obj sweeps it the same way
+    "transmission_roughness_test": lambda: procedural.sphere_array_test(
+        "specular_roughness", [0.01, 0.15, 0.3, 0.5, 0.7],
+        base=procedural.Material(transmission=1.0, diffuse=0.0),
+    ),
+    "specular_transmission_test": lambda: procedural.sphere_array_test(
+        "transmission", [0.0, 0.25, 0.5, 0.75, 1.0],
+        base=procedural.Material(
+            specular=1.0, specular_roughness=0.05, diffuse=0.0
+        ),
+    ),
+    # diffuse transmission = subsurface * thin_walled (bsdf.cu:165,330)
+    "diffuse_transmission_test": lambda: procedural.sphere_array_test(
+        "subsurface", [0.0, 0.25, 0.5, 0.75, 1.0],
+        base=procedural.Material(thin_walled=1.0),
+    ),
+    "thin_film_test": lambda: procedural.sphere_array_test(
+        "thin_film_thickness", [0.0, 200.0, 400.0, 600.0, 800.0],
+        base=procedural.Material(
+            diffuse=0.0, specular=1.0, specular_roughness=0.05
+        ),
+    ),
+    "texture_test": lambda: procedural.texture_test(),
+    "normalmap_test": lambda: procedural.normalmap_test(),
+    "emission_texture_test": lambda: procedural.emission_texture_test(),
     "sheen_test": lambda: procedural.sphere_array_test(
         "sheen", [0.0, 0.25, 0.5, 0.75, 1.0]
     ),
@@ -77,6 +104,9 @@ BUILTIN_SCENES = {
     # controller.h:31-43) through the supercluster traversal
     "terrain_1m": lambda: procedural.terrain(),
     "terrain_100k": lambda: procedural.terrain(n=224),
+    # 10.4M scene triangles, O(unique)=650k device memory (San Miguel
+    # 10M-tri class, controller.h:39)
+    "tiles_10m": lambda: procedural.instanced_tiles(),
 }
 
 

@@ -13,7 +13,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .types import Material, Scene
+from .types import Material, Scene, TextureImage
 
 
 def _merge_mesh(
@@ -302,3 +302,160 @@ def terrain(n: int = 724, size: float = 20.0, amp: float = 1.8,
         submesh_offsets=[0],
         submesh_n_faces=[n_faces],
     )
+
+# -- texture-driven test scenes (controller.h:61-66 analogs) ----------------
+
+
+def checker_texture(res: int = 64, n: int = 8,
+                    c0=(240, 240, 240), c1=(30, 30, 160),
+                    is_srgb: bool = True) -> TextureImage:
+    """Procedural checkerboard TextureImage (stands in for the texture_test
+    asset's image files, which the reference does not ship)."""
+    yy, xx = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+    mask = ((xx * n // res) + (yy * n // res)) % 2 == 0
+    img = np.empty((res, res, 4), np.uint8)
+    img[..., :3] = np.where(mask[..., None], np.uint8(1), np.uint8(0)) * (
+        np.asarray(c0, np.uint8) - np.asarray(c1, np.uint8)
+    ) + np.asarray(c1, np.uint8)
+    img[..., 3] = 255
+    return TextureImage(data=img, is_srgb=is_srgb)
+
+
+def _floor_sphere_scene(materials: List[Material], textures,
+                        sphere_material_id: int = 0,
+                        floor_material_id: int = 1) -> Scene:
+    """Shared layout for the texture/normal-map tests: one sphere on a
+    UV-mapped floor."""
+    parts = []
+    v, nn, t, f = uv_sphere([0.0, 0.55, 0.0], 0.55, n_theta=24, n_phi=48)
+    parts.append((v, nn, t, f,
+                  np.full((len(f),), sphere_material_id, np.int32)))
+    s = 3.0
+    v, nn, t, f = _quad([-s, 0, -s], [-s, 0, s], [s, 0, s], [s, 0, -s])
+    parts.append((v, nn, t, f,
+                  np.full((len(f),), floor_material_id, np.int32)))
+    verts, norms, uvs, idxs, mids = _merge_mesh(
+        [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts],
+        [p[3] for p in parts], [p[4] for p in parts],
+    )
+    n_faces = len(idxs)
+    return Scene(
+        vertices=verts, normals=norms, texcoords=uvs, indices=idxs,
+        material_ids=mids, instance_ids=np.zeros((n_faces,), np.int32),
+        materials=materials, textures=list(textures),
+        transforms=np.eye(4, dtype=np.float32)[None],
+        submesh_offsets=[0], submesh_n_faces=[n_faces],
+    )
+
+
+def texture_test() -> Scene:
+    """Base-color-texture scene (resources/texture_test analog,
+    controller.h:61): checkered sphere + checkered floor."""
+    tex = checker_texture()
+    return _floor_sphere_scene(
+        [Material(base_color_texture_id=0, specular=0.3),
+         Material(base_color_texture_id=0, specular=0.0)],
+        [tex],
+    )
+
+
+def normalmap_test() -> Scene:
+    """Normal-map scene (resources/normalmap_test analog, controller.h:64):
+    a sine-wave tangent-space normal map on sphere + floor."""
+    res = 64
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, res, endpoint=False),
+        np.linspace(0, 1, res, endpoint=False), indexing="ij",
+    )
+    # tangent-space normal tilting along u with a sine ripple
+    nx = 0.55 * np.sin(2 * np.pi * 6 * xx)
+    ny = 0.55 * np.sin(2 * np.pi * 6 * yy)
+    nz = np.sqrt(np.clip(1.0 - nx * nx - ny * ny, 0.0, 1.0))
+    img = np.empty((res, res, 4), np.uint8)
+    img[..., 0] = np.uint8(np.clip((nx * 0.5 + 0.5) * 255, 0, 255))
+    img[..., 1] = np.uint8(np.clip((ny * 0.5 + 0.5) * 255, 0, 255))
+    img[..., 2] = np.uint8(np.clip((nz * 0.5 + 0.5) * 255, 0, 255))
+    img[..., 3] = 255
+    nm = TextureImage(data=img, is_srgb=False)
+    return _floor_sphere_scene(
+        [Material(specular=0.6, specular_roughness=0.15,
+                  normalmap_texture_id=0),
+         Material(specular=0.0, base_color=(0.6, 0.6, 0.6))],
+        [nm],
+    )
+
+
+def emission_texture_test() -> Scene:
+    """Emission-texture scene (resources/emission_texture_test analog,
+    controller.h:66): an emissive checker panel lighting a diffuse sphere
+    in an otherwise black environment."""
+    tex = checker_texture(c0=(255, 255, 255), c1=(0, 0, 0), is_srgb=False)
+    parts = []
+    v, nn, t, f = uv_sphere([0.0, 0.55, 0.0], 0.55, n_theta=24, n_phi=48)
+    parts.append((v, nn, t, f, np.zeros((len(f),), np.int32)))
+    s = 2.0
+    v, nn, t, f = _quad([-s, 0, -s], [-s, 0, s], [s, 0, s], [s, 0, -s])
+    parts.append((v, nn, t, f, np.ones((len(f),), np.int32)))
+    # emissive panel hanging above, facing down
+    v, nn, t, f = _quad([-1, 2.2, 1], [-1, 2.2, -1], [1, 2.2, -1], [1, 2.2, 1])
+    parts.append((v, nn, t, f, np.full((len(f),), 2, np.int32)))
+    verts, norms, uvs, idxs, mids = _merge_mesh(
+        [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts],
+        [p[3] for p in parts], [p[4] for p in parts],
+    )
+    n_faces = len(idxs)
+    return Scene(
+        vertices=verts, normals=norms, texcoords=uvs, indices=idxs,
+        material_ids=mids, instance_ids=np.zeros((n_faces,), np.int32),
+        materials=[
+            Material(specular=0.2, base_color=(0.8, 0.8, 0.8)),
+            Material(specular=0.0, base_color=(0.5, 0.5, 0.5)),
+            Material(diffuse=0.0, specular=0.0, emission=6.0,
+                     emission_color=(1.0, 0.9, 0.7), emission_texture_id=0),
+        ],
+        textures=[tex],
+        transforms=np.eye(4, dtype=np.float32)[None],
+        submesh_offsets=[0], submesh_n_faces=[n_faces],
+    )
+
+
+def instanced_tiles(grid: int = 4, tile_n: int = 570, size: float = 20.0):
+    """>=10M-triangle scene class proof (San Miguel 10M analog,
+    controller.h:39): a `grid` x `grid` sheet of displaced-terrain tile
+    INSTANCES sharing one ~2*tile_n^2-triangle BLAS, traced through the
+    two-level supercluster path. Defaults: 16 x 649,800 = 10.4M scene
+    triangles with O(unique)=650k device memory."""
+    from .types import InstancedScene, MeshInstance
+
+    base = terrain(n=tile_n, size=size)
+    instances = []
+    half = (grid - 1) / 2.0
+    for i in range(grid):
+        for j in range(grid):
+            # vary orientation: 90-degree y rotations keep the
+            # heightfield a valid surface but break trivial coherence
+            k = (i + 2 * j) % 4
+            c, s = [(1, 0), (0, 1), (-1, 0), (0, -1)][k]
+            m = np.eye(4, dtype=np.float32)
+            m[0, 0], m[0, 2] = c, s
+            m[2, 0], m[2, 2] = -s, c
+            m[0, 3] = (i - half) * size
+            m[2, 3] = (j - half) * size
+            instances.append(MeshInstance(0, m))
+    return InstancedScene(base=base, instances=instances)
+
+
+def gradient_ibl(width: int = 128, height: int = 64,
+                 sun_px=(32, 20), sun_le: float = 40.0) -> np.ndarray:
+    """Small HDR environment map: vertical sky gradient + one bright patch
+    (procedural stand-in for the reference's .hdr IBL assets). Float32
+    [H, W, 3], lat-long layout."""
+    v = np.linspace(0.0, 1.0, height, dtype=np.float32)[:, None]
+    sky = np.stack(
+        [0.35 + 0.25 * (1 - v), 0.5 + 0.3 * (1 - v), 0.9 - 0.25 * v],
+        axis=-1,
+    ) * np.ones((height, width, 3), np.float32)
+    sky[height // 2:] *= 0.25  # darker lower hemisphere
+    y, x = sun_px[1], sun_px[0]
+    sky[max(0, y - 2): y + 3, max(0, x - 2): x + 3] = sun_le
+    return sky

@@ -197,3 +197,42 @@ class TestInstancedRender:
         # light SoA reflects the translated emissive quad (y = 4 + 0.5)
         lv = np.asarray(r._dev["light_verts"])
         assert np.allclose(lv[..., 1], 4.5, atol=1e-5)
+
+
+class TestInstancedTiles:
+    """instanced_tiles: the >=10M-triangle scene-class builder (San
+    Miguel analog) at test scale."""
+
+    def test_small_grid_renders(self):
+        from fredholm_tpu.scene.procedural import instanced_tiles
+
+        isc = instanced_tiles(grid=2, tile_n=24, size=4.0)
+        assert len(isc.instances) == 4
+        n_unique = isc.base.n_faces()
+        assert n_unique == 2 * 24 * 24
+        r = Renderer(width=32, height=32)
+        r.set_scene(isc)
+        r.camera.origin = np.asarray([0.0, 3.0, 7.0], np.float32)
+        r.camera.look_around(0.0, -0.3)
+        r.camera._update_transform()
+        r.set_directional_light([2.0, 1.9, 1.8], [0.35, 0.75, 0.3],
+                                angle=0.5)
+        r.set_bg_color((0.4, 0.5, 0.7))
+        layers = r.render(n_samples=2, max_depth=3)
+        img = np.asarray(layers["beauty"])
+        assert np.isfinite(img).all()
+        assert img.mean() > 1e-3
+        # device memory O(unique): 4 instances share one BLAS
+        assert r._dev["face_verts"].shape[0] == n_unique
+        assert r._dev["_n_instances"] == 4
+
+    def test_full_scale_counts(self):
+        """Default parameters really reach the 10M-triangle class
+        (geometry counts only — no render; the real-chip render is
+        bench.py metric 5)."""
+        from fredholm_tpu.scene.procedural import instanced_tiles
+
+        isc = instanced_tiles()
+        n_scene = isc.base.n_faces() * len(isc.instances)
+        assert n_scene >= 10_000_000
+        assert len(isc.instances) == 16
