@@ -161,9 +161,12 @@ def trace_closest(dev, o, d, t_max):
     def cond(state):
         return jnp.any(state[3])
 
-    state = (hit, o, jnp.zeros_like(hit["t"]), jnp.ones_like(hit["hit"]))
-    # first iteration always runs to evaluate alpha at the initial hit
-    state = body(state)
+    # evaluate alpha at the initial hit OUTSIDE the loop: when every hit
+    # is opaque (the common case even in alpha scenes) the while_loop
+    # condition is false on entry and no re-trace runs at all
+    alpha0 = _hit_alpha(dev, hit["prim"], hit["u"], hit["v"])
+    cut0 = hit["hit"] & (alpha0 < 0.5)
+    state = (hit, o, jnp.zeros_like(hit["t"]), cut0)
     hit, origin, t_base, _ = jax.lax.while_loop(cond, body, state)
     # report t relative to the ORIGINAL origin
     hit = dict(hit)
