@@ -262,7 +262,19 @@ class Renderer:
         (renderer.h:614-640)."""
         if self.scene is None:
             return
-        from .scene.animation import update_animation
+        from .scene.animation import node_world_transforms, update_animation
+
+        if self._dev is not None and self._dev.get("_instanced", False):
+            # O(instances) path: geometry stays on device; only the TLAS
+            # instance table + shade transforms move (the reference's
+            # per-frame IAS rebuild, renderer.h:614-640)
+            base = self.scene.base
+            update_animation(base, time, refresh_transforms=False)
+            tf = node_world_transforms(base, len(self.scene.instances))
+            self.set_instance_transforms(tf)
+            if base.has_camera_transform and base.camera_transform is not None:
+                self.camera.set_transform(base.camera_transform)
+            return
 
         update_animation(self.scene, time)
         self._dev = update_device_scene_transforms(self._dev)

@@ -31,7 +31,8 @@ def _interp(inputs: np.ndarray, outputs: np.ndarray, time: float) -> np.ndarray:
     return (1.0 - h) * outputs[idx0] + h * outputs[idx1]
 
 
-def update_animation(scene: Scene, time: float) -> None:
+def update_animation(scene: Scene, time: float,
+                     refresh_transforms: bool = True) -> None:
     for anim in scene.animations:
         translation = np.zeros(3, np.float32)
         rotation = np.asarray([0, 0, 0, 1], np.float32)
@@ -54,4 +55,34 @@ def update_animation(scene: Scene, time: float) -> None:
             raise ValueError(f"invalid animation target node {anim.node_idx}")
         node.transform = m
 
-    update_transform(scene)
+    if refresh_transforms:
+        update_transform(scene)
+
+
+def node_world_transforms(scene: Scene, n_slots: int) -> np.ndarray:
+    """[n_slots, 4, 4] world transform per node `submesh_id` slot, plus a
+    camera-transform refresh — the node walk of update_transform
+    (scene.cpp:836-860) writing to a standalone array instead of
+    scene.transforms.
+
+    Instanced animation path: `load_gltf_instanced` preserves the flat
+    node tree, whose submesh_id is exactly the MeshInstance index, so
+    this yields the per-instance object-to-world matrices for an O(I)
+    `set_instance_transforms` (renderer.h:614-640 IAS rebuild analog)
+    without touching base.transforms (which must stay identity: instanced
+    geometry lives on device in object space)."""
+    out = np.tile(np.eye(4, dtype=np.float32), (n_slots, 1, 1))
+
+    def walk(node, parent_m: np.ndarray):
+        m = parent_m @ node.transform
+        if node.camera_id != -1:
+            scene.has_camera_transform = True
+            scene.camera_transform = m
+        if node.submesh_id != -1 and node.submesh_id < n_slots:
+            out[node.submesh_id] = m
+        for child in node.children:
+            walk(child, m)
+
+    for node in scene.nodes:
+        walk(node, np.eye(4, dtype=np.float32))
+    return out

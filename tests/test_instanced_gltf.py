@@ -8,9 +8,10 @@ from fredholm_tpu.renderer import Renderer
 from fredholm_tpu.scene.instanced_loader import load_gltf_instanced
 
 
-def _make_shared_mesh_gltf(tmp_path):
+def _make_shared_mesh_gltf(tmp_path, animated=False):
     """One triangle mesh referenced by THREE nodes (two transformed),
-    plus a second unique mesh (a shifted triangle)."""
+    plus a second unique mesh (a shifted triangle). With animated=True,
+    node 1 gets a 0->1s translation animation [2,0,0] -> [2,3,0]."""
     positions = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
     normals = np.asarray([[0, 0, 1]] * 3, np.float32)
     uvs = np.asarray([[0, 0], [1, 0], [0, 1]], np.float32)
@@ -18,6 +19,10 @@ def _make_shared_mesh_gltf(tmp_path):
 
     blobs = [indices.tobytes(), positions.tobytes(), normals.tobytes(),
              uvs.tobytes()]
+    anim_in = np.asarray([0.0, 1.0], np.float32)
+    anim_out = np.asarray([[2, 0, 0], [2, 3, 0]], np.float32)
+    if animated:
+        blobs += [anim_in.tobytes(), anim_out.tobytes()]
     offsets = []
     buf = b""
     for b in blobs:
@@ -62,6 +67,24 @@ def _make_shared_mesh_gltf(tmp_path):
         "bufferViews": views,
         "accessors": accessors,
     }
+    if animated:
+        accessors += [
+            {"bufferView": 4, "componentType": 5126, "count": 2,
+             "type": "SCALAR", "min": [0.0], "max": [1.0]},
+            {"bufferView": 5, "componentType": 5126, "count": 2,
+             "type": "VEC3"},
+        ]
+        doc["animations"] = [
+            {
+                "channels": [
+                    {"sampler": 0,
+                     "target": {"node": 1, "path": "translation"}}
+                ],
+                "samplers": [
+                    {"input": 4, "output": 5, "interpolation": "LINEAR"}
+                ],
+            }
+        ]
     (tmp_path / "data.bin").write_bytes(buf)
     p = tmp_path / "shared.gltf"
     p.write_text(json.dumps(doc))
@@ -101,3 +124,34 @@ class TestGltfInstanced:
         # device geometry is O(unique): 2 faces, not 4
         assert r._dev["n_faces"] == 2
         assert r._dev["_n_instances"] == 4
+
+    def test_set_time_is_o_instances(self, tmp_path):
+        """Animated instanced scene: set_time routes through the O(I)
+        instance-transform update (renderer.h:614-640 IAS rebuild
+        analog) — device geometry buffers must be reused, not rebuilt,
+        and the animated node's instance must move."""
+        isc = load_gltf_instanced(
+            _make_shared_mesh_gltf(tmp_path, animated=True)
+        )
+        r = Renderer(width=32, height=32)
+        r.set_scene(isc)
+        r.camera.origin = np.asarray([0.0, 0.6, 4.0], np.float32)
+        r.camera._update_transform()
+        r.set_bg_color((0.3, 0.3, 0.35))
+        r.render(n_samples=1, max_depth=2)
+
+        geom_before = r._dev["face_verts"]
+        r.set_time(0.5)
+        # geometry untouched (same device buffer object), transforms moved
+        assert r._dev["face_verts"] is geom_before
+        np.testing.assert_allclose(
+            r.scene.instances[1].transform[:3, 3], [2.0, 1.5, 0.0],
+            atol=1e-5,
+        )
+        # un-animated instances keep their static node transforms
+        np.testing.assert_allclose(
+            r.scene.instances[3].transform[:3, 3], [-2.0, 0.0, 0.0],
+            atol=1e-6,
+        )
+        layers = r.render(n_samples=1, max_depth=2)
+        assert np.isfinite(np.asarray(layers["beauty"])).all()
