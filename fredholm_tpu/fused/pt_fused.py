@@ -20,8 +20,10 @@ CPU fallback; fused/kernels.py wraps the same bodies in Pallas kernels for
 the TPU fast path.
 
 Supported static envelope (renderer._config gates this; integrator/pt.py
-remains the general path): no textures, no alpha cutout, constant or Hosek
-sky (no IBL importance sampling), <= MAX_KERNEL_LIGHTS area lights.
+remains the general path): no alpha cutout, no normal/height maps,
+constant/Hosek/IBL sky (IBL incl. environment importance sampling, jnp
+bodies only — mosaic has no texel gather), <= MAX_KERNEL_LIGHTS area
+lights. Textures ride the in-pipeline bilinear fetch (TEX_KINDS).
 
 Reference: /root/reference/fredholm/modules/pt.cu:418-999 (the megakernel
 this wavefront pipeline replaces).
@@ -66,6 +68,7 @@ SHADOW_RAY_EPS = 1e-3  # pt.cu:11
 MAX_KERNEL_LIGHTS = 16  # in-kernel unrolled light-table select bound
 
 SKY_CONSTANT = 0
+SKY_IBL = 1
 SKY_HOSEK = 2
 
 
@@ -281,13 +284,18 @@ class FusedConfig(NamedTuple):
     width: int
     height: int
     max_depth: int
-    sky_mode: int           # SKY_CONSTANT or SKY_HOSEK
+    sky_mode: int           # SKY_CONSTANT, SKY_IBL or SKY_HOSEK
     has_dl: bool
     n_lights: int
     lobes_on: tuple
     # texture kinds any scene material actually uses (subset of TEX_KINDS);
     # empty tuple compiles the whole fetch machinery away
     tex_kinds: tuple = ()
+    # luminance-weighted environment NEE (sky/ibl.py distribution); only
+    # meaningful with sky_mode == SKY_IBL. IBL modes run the jnp pipeline
+    # (mosaic has no gather for the texel fetch) — still ~10x the general
+    # wavefront path
+    use_ibl_is: bool = False
 
     @property
     def has_area(self) -> bool:
@@ -322,12 +330,10 @@ class FusedConfig(NamedTuple):
 def fused_supported(dev: Dict, params: Dict) -> bool:
     """Static envelope check (see module docstring)."""
     return (
-        not dev.get("any_textures", True)
-        and not dev.get("has_alpha", False)
+        not dev.get("has_alpha", False)
         and not dev.get("any_heightmap", False)
         and not dev.get("any_normalmap", False)
-        and params["sky_mode"] in (SKY_CONSTANT, SKY_HOSEK)
-        and not params.get("use_ibl_is", False)
+        and params["sky_mode"] in (SKY_CONSTANT, SKY_IBL, SKY_HOSEK)
         and dev.get("n_lights", 0) <= MAX_KERNEL_LIGHTS
         and (params["width"] * params.get("tile_height", params["height"]))
         % 128 == 0
@@ -352,16 +358,27 @@ def _acos_poly(x):
     return jnp.where(x < 0.0, jnp.float32(np.pi) - r, r)
 
 
-def eval_sky_c(cfg: FusedConfig, sv, v: V3) -> V3:
-    """Component-form eval_sky (pt.py:168-181) for constant/Hosek modes.
+def eval_sky_c(cfg: FusedConfig, sv, v: V3, ibl_env=None) -> V3:
+    """Component-form eval_sky (pt.py:168-181).
 
     Trig is restructured for the VPU: cos(arccos(y)) == y cancels every
     trig pair except the one gamma needed by exp(c4*gamma), which uses
-    the polynomial acos; pow(m, 1.5) becomes m*sqrt(m)."""
+    the polynomial acos; pow(m, 1.5) becomes m*sqrt(m). IBL mode calls
+    the SAME fetch_ibl as the general path (bit-identical images); it is
+    jnp-only (mosaic has no texel gather)."""
     if cfg.sky_mode == SKY_CONSTANT:
         bg = _sv3(sv, _SV["bg"])
         one = jnp.ones_like(v.y)
         return V3(bg.x * one, bg.y * one, bg.z * one)
+
+    if cfg.sky_mode == SKY_IBL:
+        from ..sky.ibl import fetch_ibl
+
+        arr = fetch_ibl(
+            ibl_env, jnp.stack([v.x, v.y, v.z], -1),
+            sv[_SV["sky_intensity"]],
+        )
+        return V3(arr[..., 0], arr[..., 1], arr[..., 2])
 
     # Hosek (sky/hosek.py sky_radiance, arhosek.cu:103-127)
     intensity = sv[_SV["sky_intensity"]]
@@ -643,7 +660,8 @@ def _clip3(v: V3, lo, hi) -> V3:
     )
 
 
-def _resolve_pending(cfg: FusedConfig, sv, rad: V3, resolve: Dict) -> V3:
+def _resolve_pending(cfg: FusedConfig, sv, rad: V3, resolve: Dict,
+                     ibl_env=None) -> V3:
     """Apply bounce d-1's pending NEE visibility + BSDF-light-ray MIS
     (pt.cu:767-925 tails)."""
     zero = jnp.zeros_like(rad.x)
@@ -665,7 +683,7 @@ def _resolve_pending(cfg: FusedConfig, sv, rad: V3, resolve: Dict) -> V3:
     hit_light = l_hit & l_emissive
 
     le_hit = emission_from_attrs(cfg, la)
-    le_miss = eval_sky_c(cfg, sv, ldir)
+    le_miss = eval_sky_c(cfg, sv, ldir, ibl_env)
     le = where3(l_hit, where3(hit_light, le_hit, z3), le_miss)
 
     to_p = l_p - resolve["l_o"]
@@ -675,7 +693,15 @@ def _resolve_pending(cfg: FusedConfig, sv, rad: V3, resolve: Dict) -> V3:
     pdf_light_hit = (
         r2 / jnp.maximum(jnp.abs(dot(-ldir, l_n)), 1e-12) * pdf_area_hit
     )
-    pdf_light_miss = jnp.abs(resolve["wi_l_y"]) / jnp.pi
+    if cfg.sky_mode == SKY_IBL and cfg.use_ibl_is:
+        # MIS against the environment distribution (pt.py:843-844)
+        from ..sky.ibl import ibl_pdf
+
+        pdf_light_miss = ibl_pdf(
+            ibl_env["dist"], jnp.stack([ldir.x, ldir.y, ldir.z], -1)
+        )
+    else:
+        pdf_light_miss = jnp.abs(resolve["wi_l_y"]) / jnp.pi
     pdf_light = jnp.where(hit_light, pdf_light_hit, pdf_light_miss)
     pdf_l = resolve["pdf_l"]
     # guard 0/0 (pt.py keeps mis_w inside a pdf_l>0 where-branch)
@@ -699,6 +725,7 @@ def mega_body(
     rhit: Dict,
     rattr: Dict,
     resolve: Dict,
+    ibl_env=None,
 ):
     """Resolve bounce d-1 pending transport, shade bounce d, emit all of
     bounce d's rays + next RR (pt.cu:455-943 for one depth).
@@ -713,7 +740,7 @@ def mega_body(
     nv = state["nv"] if state.get("nv") is not None else zero
 
     if d > 0:
-        rad = _resolve_pending(cfg, sv, rad, resolve)
+        rad = _resolve_pending(cfg, sv, rad, resolve, ibl_env)
 
     # ---- shade bounce d
     hit = rhit["hit"]
@@ -721,7 +748,7 @@ def mega_body(
 
     if d == 0:
         # sky on first-hit miss (pt.cu:504-523)
-        sky_le = eval_sky_c(cfg, sv, direction)
+        sky_le = eval_sky_c(cfg, sv, direction, ibl_env)
         miss_first = alive & ~hit
         rad = rad + where3(miss_first, thr * sky_le, z3)
     alive = alive & hit
@@ -811,15 +838,26 @@ def mega_body(
         c_dl = V3(wgt.x * le_dl.x, wgt.y * le_dl.y, wgt.z * le_dl.z)
         pending["c_dl"] = where3(alive, c_dl, z3)
 
-    # sky NEE: cosine-hemisphere (pt.cu:796-857; kernel mode has no IBL-IS)
+    # sky NEE (pt.cu:796-857): cosine-hemisphere, or importance-sampled
+    # from the environment distribution when one is wired (pt.py:709-721)
     ux, uy = draw_cmj_2d(
         n_spp, image_idx, cfg.cmj_depth(d, cmj_slot), seed_hash
     )
     cmj_slot += 1
-    wi_sky = sample_cosine_weighted_hemisphere(ux, uy)
-    sdir_sky = local_to_world(wi_sky, tangent, n_s, bitangent)
-    cos_sky = jnp.abs(wi_sky.y)
-    pdf_sky = cos_sky / jnp.pi
+    if cfg.sky_mode == SKY_IBL and cfg.use_ibl_is:
+        from ..sky.ibl import sample_ibl
+
+        sdir_arr, pdf_sky = sample_ibl(
+            ibl_env["dist"], jnp.stack([ux, uy], -1)
+        )
+        sdir_sky = V3(sdir_arr[..., 0], sdir_arr[..., 1], sdir_arr[..., 2])
+        wi_sky = world_to_local(sdir_sky, tangent, n_s, bitangent)
+        cos_sky = jnp.abs(wi_sky.y)
+    else:
+        wi_sky = sample_cosine_weighted_hemisphere(ux, uy)
+        sdir_sky = local_to_world(wi_sky, tangent, n_s, bitangent)
+        cos_sky = jnp.abs(wi_sky.y)
+        pdf_sky = cos_sky / jnp.pi
     rays["sky"] = (shadow_origin, sdir_sky, shadow_tmax)
 
     f = cbsdf.eval(ctx, wo, wi_sky)
@@ -829,7 +867,7 @@ def mega_body(
         pdf_sky > 0.0, mis_w * cos_sky / jnp.maximum(pdf_sky, 1e-12), 0.0
     )
     wgt = _clip3(thr * vsplat(scale) * f, 0.0, 1.0)
-    sky_le_nee = eval_sky_c(cfg, sv, sdir_sky)
+    sky_le_nee = eval_sky_c(cfg, sv, sdir_sky, ibl_env)
     pending["c_sky"] = where3(alive, wgt * sky_le_nee, z3)
 
     sobol_slot = 1
@@ -951,10 +989,11 @@ def mega_body(
     return new_state, rays, pending, aovs
 
 
-def final_resolve_body(cfg: FusedConfig, sv, state: Dict, resolve: Dict):
+def final_resolve_body(cfg: FusedConfig, sv, state: Dict, resolve: Dict,
+                       ibl_env=None):
     """Resolve the LAST bounce's pending transport + NaN scrub
     (pt.cu:474-478)."""
-    rad = _resolve_pending(cfg, sv, state["rad"], resolve)
+    rad = _resolve_pending(cfg, sv, state["rad"], resolve, ibl_env)
     zero = jnp.zeros_like(rad.x)
     return where3(is_finite3(rad), rad, V3(zero, zero, zero))
 
@@ -1071,14 +1110,16 @@ def _make_resolve(cfg, dev, hit_all, blocks, n, prev_rays, prev_pending):
 
 
 def _mega_tiled(cfg, d, sv, usv, light_table, image_idx, n_spp, sample_idx,
-                state, rhit, rattr, resolve, use_pallas: bool):
+                state, rhit, rattr, resolve, use_pallas: bool,
+                ibl_env=None):
     """mega_body, either pure-jnp (CPU oracle) or as ONE Pallas launch with
     rays tiled in VMEM (fused/kernels.py) — the megakernel proper."""
     if not use_pallas:
         return mega_body(
             cfg, d, sv, usv, image_idx, n_spp, sample_idx, light_table,
-            state, rhit, rattr, resolve,
+            state, rhit, rattr, resolve, ibl_env,
         )
+    assert cfg.sky_mode != SKY_IBL, "IBL fused mode is jnp-only"
     from .kernels import tiled_map
 
     inputs = {
@@ -1110,9 +1151,10 @@ def _raygen_tiled(cfg, sv, usv, px, py, image_idx, n_spp, use_pallas: bool):
     return tiled_map(body, inputs, [sv, usv])
 
 
-def _final_tiled(cfg, sv, state, resolve, use_pallas: bool):
+def _final_tiled(cfg, sv, state, resolve, use_pallas: bool, ibl_env=None):
     if not use_pallas:
-        return final_resolve_body(cfg, sv, state, resolve)
+        return final_resolve_body(cfg, sv, state, resolve, ibl_env)
+    assert cfg.sky_mode != SKY_IBL, "IBL fused mode is jnp-only"
     from .kernels import tiled_map
 
     inputs = {"st": state, "rs": resolve}
@@ -1140,7 +1182,13 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
         n_lights=dev["n_lights"],
         lobes_on=dev.get("lobes_on", cbsdf.ALL_LOBES),
         tex_kinds=dev.get("tex_kinds", ()),
+        use_ibl_is=bool(params.get("use_ibl_is", False)),
     )
+    ibl_env = None
+    if cfg.sky_mode == SKY_IBL:
+        ibl_env = dict(params["ibl"])
+        if cfg.use_ibl_is:
+            ibl_env["dist"] = params["ibl_dist"]
 
     from ..core.swizzle import swizzle_active, swizzled_pixel_coords, unswizzle
 
@@ -1177,7 +1225,7 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
 
     use_pk = bool(dev.get("use_pallas", True)) and (
         _os.environ.get("FREDHOLM_MEGA", "jnp") == "pallas"
-    )
+    ) and cfg.sky_mode != SKY_IBL  # no mosaic gather for IBL texels
 
     state = _raygen_tiled(cfg, sv, usv, px, py, image_idx, n_spp, use_pk)
     sample_idx = state.pop("sample_idx")
@@ -1241,7 +1289,7 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
 
         state, rays, pending, aovs_d = _mega_tiled(
             cfg, d, sv, usv, light_table, image_idx, n_spp, sample_idx,
-            state, rhit, rattr, resolve, use_pk,
+            state, rhit, rattr, resolve, use_pk, ibl_env,
         )
         if d == 0:
             aovs = aovs_d
@@ -1270,7 +1318,7 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
         blk(hit_all["u"], li), blk(hit_all["v"], li),
     )
 
-    rad = _final_tiled(cfg, sv, state, resolve, use_pk)
+    rad = _final_tiled(cfg, sv, state, resolve, use_pk, ibl_env)
 
     out = {
         "radiance": to_stacked(rad),

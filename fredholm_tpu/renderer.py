@@ -427,7 +427,9 @@ class Renderer:
                 and self._ibl_dist is not None
             ),
             # fused megakernel pipeline envelope (fused/pt_fused.py):
-            # untextured, no alpha, constant/Hosek sky, few area lights
+            # textured OK (in-pipeline fetch), all sky modes incl. IBL with
+            # importance sampling (jnp bodies — no mosaic texel gather);
+            # no alpha cutout or normal/height maps
             use_fused=(
                 self.use_fused
                 and self.sampler_mode == "sobol_cmj"
@@ -435,7 +437,8 @@ class Renderer:
                 and not ss["has_alpha"]
                 and not ss["any_heightmap"]
                 and not ss["any_normalmap"]
-                and self.sky_mode in (self.SKY_CONSTANT, self.SKY_HOSEK)
+                and self.sky_mode
+                in (self.SKY_CONSTANT, self.SKY_IBL, self.SKY_HOSEK)
                 and self._dev["n_lights"] <= 16
                 and (self.width * self.height) % 128 == 0
             ),
@@ -478,7 +481,9 @@ class Renderer:
         dynamic = self._dynamic_params()
         # regeneration wavefront: amortizes dead lanes across samples, so
         # it needs >= 2 spp per call to have anything to refill with
-        if config.use_fused and self.use_regen and n_samples >= 2:
+        # (no IBL plumbing — IBL scenes take the unrolled pipeline)
+        if (config.use_fused and self.use_regen and n_samples >= 2
+                and self.sky_mode != self.SKY_IBL):
             from .fused.pt_regen import render_progressive_regen
 
             self.layers, self.sample_count = render_progressive_regen(

@@ -99,3 +99,38 @@ class TestFusedEquivalence:
         assert r._config(1, 3).use_fused
         r.use_fused = False
         assert not r._config(1, 3).use_fused
+
+    def test_ibl_matches_reference(self):
+        """IBL sky (importance-sampled NEE) through the fused pipeline
+        equals the general integrator — closes the last sky-mode gap in
+        the fused envelope (pt.cu:344-350 env fetch + our IS extension)."""
+        from fredholm_tpu.scene.procedural import gradient_ibl
+
+        r = _setup()
+        r.camera.origin = np.asarray([0.0, 1.0, 4.5], np.float32)
+        r.camera._update_transform()
+        r.set_ibl(gradient_ibl(width=64, height=32))
+        assert r.ibl_importance_sampling and r._ibl_dist is not None
+        assert r._config(1, 3).use_fused
+        fused, ref = _render_pair(r, n_samples=2, max_depth=3)
+        np.testing.assert_allclose(
+            np.asarray(fused["beauty"]), np.asarray(ref["beauty"]),
+            rtol=5e-4, atol=5e-4,
+        )
+
+    def test_ibl_no_is_matches_reference(self):
+        """IBL with importance sampling disabled (cosine sky NEE — the
+        reference's actual behavior, pt.cu:797 TODO) also matches."""
+        from fredholm_tpu.scene.procedural import gradient_ibl
+
+        r = _setup()
+        r.camera.origin = np.asarray([0.0, 1.0, 4.5], np.float32)
+        r.camera._update_transform()
+        r.ibl_importance_sampling = False
+        r.set_ibl(gradient_ibl(width=64, height=32))
+        assert r._config(1, 3).use_fused
+        fused, ref = _render_pair(r, n_samples=2, max_depth=3)
+        np.testing.assert_allclose(
+            np.asarray(fused["beauty"]), np.asarray(ref["beauty"]),
+            rtol=5e-4, atol=5e-4,
+        )
