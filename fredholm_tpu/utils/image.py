@@ -19,13 +19,29 @@ def layer_to_image(buf: np.ndarray, width: int, height: int) -> np.ndarray:
     return buf.reshape(height, width, -1)
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """float [H, W, 3/4] in [0,1] (or uint8) -> PNG."""
-    from PIL import Image
-
+def _to_u8(img: np.ndarray) -> np.ndarray:
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = np.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
     if img.shape[-1] == 1:
         img = np.repeat(img, 3, axis=-1)
-    Image.fromarray(img[..., :3]).save(path)
+    return img[..., :3]
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """float [H, W, 3/4] in [0,1] (or uint8) -> PNG."""
+    from PIL import Image
+
+    Image.fromarray(_to_u8(img)).save(path)
+
+
+def png_bytes(img: np.ndarray) -> bytes:
+    """float [H, W, 3/4] in [0,1] (or uint8) -> in-memory PNG (the web
+    viewer's progressive frame stream)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(_to_u8(img)).save(buf, format="PNG")
+    return buf.getvalue()
