@@ -14,6 +14,7 @@ light presence, lobe/texture availability) form a hashable static config.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, Optional
 
@@ -83,6 +84,51 @@ def _render_jit(arrays, dynamic, layers, sample_count, config: StaticConfig):
     return render_progressive(
         dev, params, layers, sample_count, config.n_samples
     )
+
+
+@partial(jax.jit, static_argnames=("config", "band_h"))
+def _render_band_jit(arrays, dynamic, layers, sample_count, y0,
+                     config: StaticConfig, band_h: int):
+    """One progressive sample on ONE row band of the frame: the fused
+    pipeline's [N]-plane intermediates shrink from width*height to
+    width*band_h lanes, restoring the small-frame working-set regime at
+    large resolutions (PERF.md "1080p banding"). Pixel indexing is global
+    (tile_height + traced y0 — the same contract the shard_map path
+    uses), so per-pixel sample streams are IDENTICAL to the full-frame
+    render; only intermediate sizes and dispatch granularity change. y0
+    is traced: ONE compile serves every band."""
+    dev = dict(arrays)
+    dev.update(static_dev_from_config(config))
+    width = config.width
+    start = y0 * width
+    n_band = band_h * width
+
+    def band_of(v):
+        return jax.lax.dynamic_slice_in_dim(v, start, n_band, 0)
+
+    band_layers = {
+        k: (band_of(v) if getattr(v, "ndim", 0) > 0 else v)
+        for k, v in layers.items()
+    }
+    params = dict(dynamic)
+    params.update(static_params_from_config(config))
+    params["tile_height"] = band_h
+    params["y0"] = y0
+    band_layers, band_count = render_progressive(
+        dev, params, band_layers, band_of(sample_count), config.n_samples
+    )
+    layers = {
+        k: (
+            jax.lax.dynamic_update_slice_in_dim(layers[k], v, start, 0)
+            if getattr(v, "ndim", 0) > 0
+            else v
+        )
+        for k, v in band_layers.items()
+    }
+    sample_count = jax.lax.dynamic_update_slice_in_dim(
+        sample_count, band_count, start, 0
+    )
+    return layers, sample_count
 
 
 def _scene_has_alpha(scene) -> bool:
@@ -183,12 +229,26 @@ class Renderer:
         # sample-slot regeneration (fused/pt_regen.py): dead lanes restart
         # the pixel's next progressive sample in-place — the wavefront
         # replacement for OptiX's SIMT scheduling. Produces the same sample
-        # stream; only the lane packing changes
-        self.use_regen = True
+        # stream; only the lane packing changes. OFF by default: measured
+        # on the real chip it is a 3x LOSS on cornell 512 (8.85 vs 26.6
+        # Mpv/s) — the stage count is gated by the slowest lane's
+        # sequential sample chain (104 vs the unrolled 80 stages) while
+        # each stage pays a ~2.3x premium (dynamic-dim Sobol, per-stage
+        # raygen, wider carried state); dead-TILE skipping in the unrolled
+        # pipeline already recovers the tile-coherent part of the
+        # occupancy gap (PERF.md "Sample-slot regeneration: measured").
+        # FREDHOLM_REGEN=1 forces it on (A/B hook)
+        self.use_regen = os.environ.get("FREDHOLM_REGEN", "0") == "1"
         # "sobol_cmj" (reference draw distribution, sampling.cu:19-45) or
         # "bluenoise" (screen-space blue-noise dithered Owen-Sobol,
         # blue-noise.cu made selectable for real)
         self.sampler_mode = "sobol_cmj"
+        # render the frame as a host loop over row bands of this height
+        # (0 = whole frame). Large frames (1080p+) are faster banded: the
+        # fused pipeline's [N]-plane intermediates drop back into the
+        # small-frame working-set regime. Sample streams are unchanged
+        # (global pixel indexing) — banding is a pure scheduling choice.
+        self.band_height = int(os.environ.get("FREDHOLM_BAND_H", "0"))
 
 
         self.init_render_states()
@@ -490,6 +550,16 @@ class Renderer:
                 arrays, dynamic, config, self.layers, self.sample_count,
                 n_samples,
             )
+            return self.layers
+        band_h = self.band_height
+        if band_h and 0 < band_h < self.height and self.height % band_h == 0:
+            n_bands = self.height // band_h
+            for _ in range(n_samples):
+                for b in range(n_bands):
+                    self.layers, self.sample_count = _render_band_jit(
+                        arrays, dynamic, self.layers, self.sample_count,
+                        jnp.uint32(b * band_h), config, band_h,
+                    )
             return self.layers
         for _ in range(n_samples):
             self.layers, self.sample_count = _render_jit(

@@ -219,3 +219,35 @@ class TestCLIArgs:
         img = np.random.default_rng(0).uniform(size=(8, 8, 3))
         s = terminal_preview(img, max_cols=8)
         assert "\x1b[38;2;" in s and s.endswith("\x1b[0m")
+
+
+class TestBandedRender:
+    def test_banded_equals_full(self):
+        """Row-band rendering (FREDHOLM_BAND_H / Renderer.band_height) is a
+        pure scheduling choice: global pixel indexing keeps every per-pixel
+        sample stream identical, so the banded frame must equal the
+        full-frame render exactly (same contract the shard_map path uses)."""
+        from fredholm_tpu.renderer import Renderer
+        from fredholm_tpu.scene.procedural import cornell_box
+
+        def mk():
+            r = Renderer(width=32, height=32)
+            r.set_scene(cornell_box())
+            r.camera.origin = np.asarray([0.0, 1.0, 0.6], np.float32)
+            r.camera._update_transform()
+            return r
+
+        ra = mk()
+        ra.render(n_samples=2, max_depth=3)
+        rb = mk()
+        rb.band_height = 8
+        rb.render(n_samples=2, max_depth=3)
+        a = np.asarray(ra.layers["beauty"])
+        b = np.asarray(rb.layers["beauty"])
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(
+            np.asarray(ra.sample_count), np.asarray(rb.sample_count)
+        )
+        assert float(ra.layers["n_path_vertices"]) == pytest.approx(
+            float(rb.layers["n_path_vertices"])
+        )
