@@ -80,7 +80,10 @@ def _timed_render(r, spp, max_depth):
     import numpy as np
 
     # warmup: 2 spp so the regeneration chunk (n_samples >= 2 gate)
-    # compiles outside the timed section
+    # compiles outside the timed section. TWO warmups: on the axon tunnel
+    # the first dispatch after a compile still carries ~10x overhead
+    # (measured round 3, tools/probe_traversal.py methodology note)
+    r.render(n_samples=2, max_depth=max_depth)
     r.render(n_samples=2, max_depth=max_depth)
     v0 = float(np.asarray(r.layers["n_path_vertices"]))
     t0 = time.time()
@@ -193,7 +196,12 @@ def _bench_sharded(width, height, spp, max_depth):
     layers = jax.tree.map(shard_leaf, r.layers)
     count = jax.device_put(r.sample_count, NamedSharding(mesh, P("tiles")))
 
-    # warmup
+    # two warmups: first post-compile dispatch carries ~10x overhead on
+    # the axon tunnel (see _timed_render)
+    layers, count = render_progressive_sharded(
+        mesh, dev, static_params, dynamic, layers, count, 1
+    )
+    float(np.asarray(layers["n_path_vertices"]))
     layers, count = render_progressive_sharded(
         mesh, dev, static_params, dynamic, layers, count, 1
     )
@@ -209,6 +217,25 @@ def _bench_sharded(width, height, spp, max_depth):
     return (v1 - v0) / dt / 1e6, n_dev
 
 
+def _bench_tiles(width, height, spp, max_depth):
+    """10.4M-triangle instanced tile sheet (San Miguel 10M-tri analog,
+    controller.h:39): 16 instances x 650k-tri shared BLAS through the
+    two-level supercluster traversal."""
+    import numpy as np
+
+    from fredholm_tpu.renderer import Renderer
+    from fredholm_tpu.scene.procedural import instanced_tiles
+
+    r = Renderer(width=width, height=height)
+    r.set_scene(instanced_tiles())
+    r.camera.origin = np.asarray([0.0, 9.0, 38.0], np.float32)
+    r.camera.look_around(0.0, -0.22)
+    r.camera._update_transform()
+    r.set_directional_light([2.0, 1.9, 1.8], [0.35, 0.75, 0.3], angle=0.5)
+    r.load_arhosek_sky(turbidity=3.0, albedo=0.3)
+    return _timed_render(r, spp, max_depth)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=16)
@@ -217,7 +244,8 @@ def main() -> None:
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument(
         "--only", type=int, default=0,
-        help="run just metric N (1=cornell, 2=sweep, 3=1080p, 4=terrain)",
+        help="run just metric N (1=cornell, 2=sweep, 3=1080p, 4=terrain, "
+             "5=10M-tri instanced tiles)",
     )
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
@@ -270,6 +298,13 @@ def main() -> None:
         _emit(
             f"terrain ~1.05M-tris 512x288 @4spp depth{args.max_depth} "
             f"single-chip path tracing (supercluster traversal)",
+            mpvs,
+        )
+    if args.only in (0, 5):
+        mpvs = _bench_tiles(512, 288, 4, args.max_depth)
+        _emit(
+            f"instanced-tiles 10.4M-tris 512x288 @4spp depth{args.max_depth} "
+            f"single-chip path tracing (shared-BLAS TLAS)",
             mpvs,
         )
 
