@@ -71,6 +71,12 @@ _ABLATE = _os.environ.get("FREDHOLM_TRAV_ABLATE", "")
 # [inst_visits, sc_tests, sc_visits, cl_tests, cl_visits, grp_tests,
 #  grp_visits, tri_tests] summed over tiles (tools/probe_traversal.py)
 _STATS = _os.environ.get("FREDHOLM_TRAV_STATS", "") == "1"
+# cluster gating strategy: "" = gate+sweep fused per cluster (one
+# predicated region per cluster); "twopass" = vector-gate ALL clusters of
+# the supercluster first (8 slab tests per fori iteration, interested ids
+# appended to an SMEM list), then sweep only the selected ids — amortizes
+# the per-cluster loop/branch overhead that dominates incoherent tiles
+_GATE = _os.environ.get("FREDHOLM_TRAV_GATE", "")
 STAT_NAMES = ("inst_visits", "sc_tests", "sc_visits", "cl_tests",
               "cl_visits", "grp_tests", "grp_visits", "tri_tests")
 
@@ -174,7 +180,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
             stats_out = rest[0]
             rest = rest[1:]
         (best_t, best_prim, best_u, best_v, best_inst,
-         clm, smem, sem_m, sem_b) = rest
+         clm, smem, sel, sem_m, sem_b) = rest
 
         def bump(k):
             if stats:
@@ -296,20 +302,11 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                 dma_m.start()
                                 dma_m.wait()
 
-                                def cl_body(j, _):
-                                    bump(3)
-                                    bhit = _slab_cols(
-                                        clm, j, ox, oy, oz, *inv, best_t[:]
-                                    )
-                                    if any_hit:
-                                        bhit = bhit & (best_prim[:] < 0.0)
-
-                                    @pl.when(jnp.any(bhit))
-                                    def _():
-                                        bump(4)
-                                        if _ABLATE == "noblkdma":
-                                            best_u[:] = best_u[:] + 1e-30
-                                            return
+                                def cluster_sweep(j):
+                                    bump(4)
+                                    if _ABLATE == "noblkdma":
+                                        best_u[:] = best_u[:] + 1e-30
+                                    else:
                                         cid = clm[7, j].astype(jnp.int32)
                                         dma_b = pltpu.make_async_copy(
                                             blocks_hbm.at[
@@ -412,9 +409,77 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                                 & (g * TRI_GROUP < cnt)
                                             )(lambda g=g: grp_sweep(g))
 
-                                    return 0
+                                mcount = sc_mcount[s]
+                                if _GATE == "twopass":
+                                    # pass 1: slab-gate every cluster of
+                                    # the supercluster, 8 per fori
+                                    # iteration (amortizes loop/branch
+                                    # overhead), appending interested ids
+                                    # to the SMEM list
+                                    def gate8(c, cnt):
+                                        base = c * 8
+                                        for k in range(8):
+                                            bump(3)
+                                            j = base + k
+                                            bhit = _slab_cols(
+                                                clm, j, ox, oy, oz, *inv,
+                                                best_t[:],
+                                            )
+                                            if any_hit:
+                                                bhit = bhit & (
+                                                    best_prim[:] < 0.0
+                                                )
+                                            ok = (
+                                                jnp.any(bhit) & (j < mcount)
+                                            ).astype(jnp.int32)
+                                            # write-then-advance: stale
+                                            # writes are overwritten by the
+                                            # next candidate
+                                            sel[0, cnt] = j
+                                            cnt = cnt + ok
+                                        return cnt
 
-                                jax.lax.fori_loop(0, sc_mcount[s], cl_body, 0)
+                                    n_sel = jax.lax.fori_loop(
+                                        0, (mcount + 7) // 8, gate8,
+                                        jnp.int32(0),
+                                    )
+
+                                    def sweep_sel(k, _):
+                                        j = sel[0, k]
+                                        # re-gate with the tightened best_t
+                                        # (earlier sweeps may have occluded
+                                        # this cluster since pass 1)
+                                        bhit = _slab_cols(
+                                            clm, j, ox, oy, oz, *inv,
+                                            best_t[:],
+                                        )
+                                        if any_hit:
+                                            bhit = bhit & (
+                                                best_prim[:] < 0.0
+                                            )
+                                        pl.when(jnp.any(bhit))(
+                                            lambda: cluster_sweep(j)
+                                        )
+                                        return 0
+
+                                    jax.lax.fori_loop(0, n_sel, sweep_sel, 0)
+                                else:
+                                    def cl_body(j, _):
+                                        bump(3)
+                                        bhit = _slab_cols(
+                                            clm, j, ox, oy, oz, *inv,
+                                            best_t[:],
+                                        )
+                                        if any_hit:
+                                            bhit = bhit & (
+                                                best_prim[:] < 0.0
+                                            )
+                                        pl.when(jnp.any(bhit))(
+                                            lambda: cluster_sweep(j)
+                                        )
+                                        return 0
+
+                                    jax.lax.fori_loop(0, mcount, cl_body, 0)
 
                             # early exit: remaining (front-to-back) boxes are
                             # provably beyond every alive lane's best t
@@ -520,6 +585,7 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
             pltpu.VMEM((sub, LANES), jnp.float32),
             pltpu.SMEM((CL_META_ROWS, SC_GROUP), jnp.float32),
             pltpu.SMEM((TRI_COMPONENTS, CLUSTER_SIZE), jnp.float32),
+            pltpu.SMEM((8, SC_GROUP), jnp.int32),  # twopass sel list (row 0)
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
