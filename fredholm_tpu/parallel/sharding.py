@@ -64,6 +64,7 @@ def render_progressive_sharded(
     sample_count,
     n_samples: int,
     axis: str = "tiles",
+    spp_chunk: int = 4,
 ):
     """Sharded analog of render_progressive.
 
@@ -86,16 +87,32 @@ def render_progressive_sharded(
     layer_ndims = tuple(
         sorted((k, getattr(v, "ndim", 0)) for k, v in layers.items())
     )
-    step = _build_sharded_step(
-        mesh,
-        axis,
-        tile_h,
-        tuple(sorted(static_dev.items())),
-        tuple(sorted(static_params.items())),
-        layer_ndims,
-    )
-    for _ in range(n_samples):
+
+    def make_step(chunk):
+        return _build_sharded_step(
+            mesh,
+            axis,
+            tile_h,
+            tuple(sorted(static_dev.items())),
+            tuple(sorted(static_params.items())),
+            layer_ndims,
+            chunk,
+        )
+
+    # chunk several spp into ONE dispatch (statically unrolled inside the
+    # jitted shard_map step — NOT lax.scan, which crashes the axon backend
+    # around the traversal while_loop): per-dispatch overhead on sharded
+    # executables is large on the tunneled chip, and the spp loop is the
+    # hot dispatch site
+    done = 0
+    chunk = max(1, min(spp_chunk, n_samples))
+    step = make_step(chunk)
+    while done + chunk <= n_samples:
         layers, sample_count = step(layers, sample_count, dev, dynamic_params)
+        done += chunk
+    if done < n_samples:
+        tail = make_step(n_samples - done)
+        layers, sample_count = tail(layers, sample_count, dev, dynamic_params)
     return layers, sample_count
 
 
@@ -107,10 +124,12 @@ def _build_sharded_step(
     static_dev_t: Tuple,
     static_params_t: Tuple,
     layer_ndims: Tuple,
+    n_spp: int = 1,
 ):
-    """Build + cache ONE jitted 1-spp shard_map step per static signature —
-    the host spp loop (and repeated calls, e.g. a progressive viewer or
-    bench) must reuse the compiled executable, not retrace per call."""
+    """Build + cache ONE jitted n_spp-chunk shard_map step per static
+    signature — the host spp loop (and repeated calls, e.g. a progressive
+    viewer or bench) must reuse the compiled executable, not retrace per
+    call."""
     static_dev = dict(static_dev_t)
     static_params = dict(static_params_t)
 
@@ -122,11 +141,16 @@ def _build_sharded_step(
         p["tile_height"] = tile_h
         p["y0"] = idx * tile_h
         new_layers, new_count = render_progressive(
-            dev_r, p, layers_t, count_t, 1
+            dev_r, p, layers_t, count_t, n_spp
         )
-        # per-shard perf counters join into the global count
+        # per-shard perf counters join into the global count. psum the
+        # DELTA only: the incoming counter is already a (replicated)
+        # global total from the previous step — psumming the full value
+        # would multiply it by n_dev every step
         for counter in ("n_path_vertices", "n_lane_slots"):
-            new_layers[counter] = jax.lax.psum(new_layers[counter], axis)
+            new_layers[counter] = layers_t[counter] + jax.lax.psum(
+                new_layers[counter] - layers_t[counter], axis
+            )
         return new_layers, new_count
 
     layer_specs = {

@@ -102,3 +102,30 @@ class TestSppSharding:
             atol=1e-6,
         )
         assert int(np.asarray(count)[0]) == 8
+
+
+class TestSppChunking:
+    def test_multi_step_counters_and_image(self):
+        """5 samples = one 4-spp chunked dispatch + a 1-spp tail; counters
+        must equal the single-device run (the psum joins only per-step
+        DELTAS — psumming the running global would multiply it by n_dev
+        every step)."""
+        r = _setup()
+        mesh = make_mesh(8)
+        layers, count = _sharded_render(r, mesh, n_samples=5)
+
+        r2 = _setup()
+        r2.use_pallas = False
+        r2.render(n_samples=5, max_depth=2)
+
+        np.testing.assert_allclose(
+            np.asarray(layers["beauty"]),
+            np.asarray(r2.layers["beauty"]),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(layers["n_path_vertices"])),
+            float(np.asarray(r2.layers["n_path_vertices"])),
+            rtol=1e-6,
+        )
+        assert int(np.asarray(count).min()) == 5
