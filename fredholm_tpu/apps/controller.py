@@ -88,6 +88,36 @@ BUILTIN_SCENES = {
     "texture_test": lambda: procedural.texture_test(),
     "normalmap_test": lambda: procedural.normalmap_test(),
     "emission_texture_test": lambda: procedural.emission_texture_test(),
+    # single-sphere transmission scene (transmission_test_sphere,
+    # controller.h:50)
+    "transmission_test_sphere": lambda: procedural.sphere_array_test(
+        "transmission", [1.0],
+        base=procedural.Material(diffuse=0.0),
+    ),
+    # transmission=1 + specular=1 sweeping roughness
+    # (specular_transmission_roughness_test, controller.h:52)
+    "specular_transmission_roughness_test":
+        lambda: procedural.sphere_array_test(
+            "specular_roughness", [0.01, 0.15, 0.3, 0.5, 0.7],
+            base=procedural.Material(
+                transmission=1.0, specular=1.0, diffuse=0.0
+            ),
+        ),
+    # 2D metalness x roughness grid (MetalRoughSpheres.gltf analog,
+    # controller.h:60)
+    "metal_rough_spheres": lambda: procedural.sphere_grid_test(
+        "metalness", [0.0, 0.25, 0.5, 0.75, 1.0],
+        "specular_roughness", [0.05, 0.3, 0.6, 0.9],
+    ),
+    # coat=1 sweeping coat roughness (ClearCoatTest.gltf analog,
+    # controller.h:61)
+    "clear_coat_test": lambda: procedural.sphere_array_test(
+        "coat_roughness", [0.0, 0.25, 0.5, 0.75, 1.0],
+        base=procedural.Material(coat=1.0, base_color=(0.6, 0.1, 0.1)),
+    ),
+    # shared-BLAS instanced ring (instance_test.gltf analog,
+    # controller.h:63)
+    "instance_test": lambda: procedural.instance_test(),
     "sheen_test": lambda: procedural.sphere_array_test(
         "sheen", [0.0, 0.25, 0.5, 0.75, 1.0]
     ),

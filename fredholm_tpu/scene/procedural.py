@@ -303,6 +303,88 @@ def terrain(n: int = 724, size: float = 20.0, amp: float = 1.8,
         submesh_n_faces=[n_faces],
     )
 
+def sphere_grid_test(
+    param_x: str,
+    values_x,
+    param_y: str,
+    values_y,
+    base: Optional[Material] = None,
+    radius: float = 0.4,
+    spacing: float = 1.0,
+) -> Scene:
+    """2D material sweep: a grid of spheres varying param_x along columns
+    and param_y along rows (MetalRoughSpheres.gltf analog,
+    controller.h:60)."""
+    import dataclasses as dc
+
+    base = base or Material()
+    materials: List[Material] = []
+    parts = []
+    nx, ny = len(values_x), len(values_y)
+    for j, vy in enumerate(values_y):
+        for i, vx in enumerate(values_x):
+            m = dc.replace(base)
+            setattr(m, param_x, vx)
+            setattr(m, param_y, vy)
+            materials.append(m)
+            cx = (i - (nx - 1) / 2.0) * spacing
+            cy = radius + j * spacing
+            v, nn, t, f = uv_sphere([cx, cy, 0.0], radius)
+            parts.append(
+                (v, nn, t, f,
+                 np.full((len(f),), j * nx + i, np.int32))
+            )
+    verts, norms, uvs, idxs, mids = _merge_mesh(
+        [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts],
+        [p[3] for p in parts], [p[4] for p in parts],
+    )
+    n_faces = len(idxs)
+    return Scene(
+        vertices=verts, normals=norms, texcoords=uvs, indices=idxs,
+        material_ids=mids, instance_ids=np.zeros((n_faces,), np.int32),
+        materials=materials,
+        transforms=np.eye(4, dtype=np.float32)[None],
+        submesh_offsets=[0], submesh_n_faces=[n_faces],
+    )
+
+
+def instance_test(n: int = 4):
+    """Small shared-BLAS instanced scene (instance_test.gltf analog,
+    controller.h:63): one sphere+pedestal mesh instanced in a ring."""
+    from .types import InstancedScene, MeshInstance
+
+    v, nn, t, f = uv_sphere([0.0, 0.5, 0.0], 0.5, n_theta=16, n_phi=32)
+    vq, nq, tq, fq = _quad(
+        [-0.55, 0, -0.55], [-0.55, 0, 0.55], [0.55, 0, 0.55],
+        [0.55, 0, -0.55],
+    )
+    verts, norms, uvs, idxs, mids = _merge_mesh(
+        [v, vq], [nn, nq], [t, tq],
+        [f, fq], [np.zeros((len(f),), np.int32),
+                  np.ones((len(fq),), np.int32)],
+    )
+    n_faces = len(idxs)
+    base = Scene(
+        vertices=verts, normals=norms, texcoords=uvs, indices=idxs,
+        material_ids=mids, instance_ids=np.zeros((n_faces,), np.int32),
+        materials=[
+            Material(base_color=(0.8, 0.3, 0.2), specular=0.5,
+                     specular_roughness=0.2),
+            Material(base_color=(0.6, 0.6, 0.6), specular=0.0),
+        ],
+        transforms=np.eye(4, dtype=np.float32)[None],
+        submesh_offsets=[0], submesh_n_faces=[n_faces],
+    )
+    instances = []
+    for k in range(n):
+        a = 2.0 * np.pi * k / n
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = 2.0 * np.cos(a)
+        m[2, 3] = 2.0 * np.sin(a)
+        instances.append(MeshInstance(0, m))
+    return InstancedScene(base=base, instances=instances)
+
+
 # -- texture-driven test scenes (controller.h:61-66 analogs) ----------------
 
 
