@@ -33,7 +33,7 @@ log = logging.getLogger("fredholm_tpu")
 
 def build_arg_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--scene", required=True, help=".obj or .gltf scene")
+    ap.add_argument("--scene", required=True, help=".obj/.gltf path or a builtin scene name")
     ap.add_argument(
         "--extra-scene",
         default=None,
@@ -76,6 +76,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--aov", default="beauty",
                     choices=["beauty", "denoised", "position", "normal",
                              "depth", "texcoord", "albedo"])
+    ap.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force a JAX backend (this host's sitecustomize ignores the "
+        "JAX_PLATFORMS env var; 'cpu' renders without the TPU tunnel)",
+    )
     return ap
 
 
@@ -87,6 +92,10 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.platform:
+        jax.config.update(
+            "jax_platforms", "cpu" if args.platform == "cpu" else "axon"
+        )
     cache = os.path.expanduser("~/.cache/jax_comp")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -103,7 +112,14 @@ def main(argv=None) -> int:
     timer = StageTimer()
     r = Renderer(width=args.width, height=args.height)
     with timer.stage("load_scene"):
-        r.load_scene(args.scene)
+        from .controller import BUILTIN_SCENES
+
+        if args.scene in BUILTIN_SCENES:
+            # builtin procedural scene names work like file paths (the
+            # reference CLI renders its resource list; we ship no assets)
+            r.set_scene(BUILTIN_SCENES[args.scene]())
+        else:
+            r.load_scene(args.scene)
         if args.extra_scene:
             r.load_scene(args.extra_scene, clear=False)
 
