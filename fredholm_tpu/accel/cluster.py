@@ -75,6 +75,12 @@ class Hierarchy:
     blocks: np.ndarray
     root_lo: np.ndarray
     root_hi: np.ndarray
+    # refit cache (animation path): the cut topology, so per-frame updates
+    # only rewrite bounds + triangle data instead of re-cutting
+    sc_nodes: np.ndarray = None       # [S] BVH node of each supercluster
+    cluster_nodes: np.ndarray = None  # [K] BVH node of each cluster
+    mem_slots: np.ndarray = None      # [K] cl_meta column per cluster
+    perm: np.ndarray = None           # [K*CLUSTER_SIZE] prim ids, -1 pads
 
     @property
     def n_superclusters(self) -> int:
@@ -157,6 +163,7 @@ def extract_hierarchy(
     cl_meta[3:6, :] = -1e30
 
     cluster_nodes: List[int] = []
+    mem_slots: List[int] = []
     for si, node in enumerate(sc_nodes):
         sc_aabb[0:3, si] = bvh.bounds_min[node]
         sc_aabb[3:6, si] = bvh.bounds_max[node]
@@ -170,35 +177,18 @@ def extract_hierarchy(
             cl_meta[6, base + j] = counts[m]
             cl_meta[7, base + j] = len(cluster_nodes)
             cluster_nodes.append(m)
+            mem_slots.append(base + j)
 
     k = len(cluster_nodes)
-    if prim_ids is None:
-        prim_ids = np.arange(tri_v0.shape[0], dtype=np.int64)
-    blocks = np.zeros((TRI_COMPONENTS, k * CLUSTER_SIZE), np.float32)
-    # empty sub-groups must fail every slab test
-    blocks[10:13, :] = 1e30
-    blocks[13:16, :] = -1e30
+    # per-slot prim permutation (the refit cache + the vectorized fill)
+    perm = np.full((k * CLUSTER_SIZE,), -1, np.int64)
     for ci, node in enumerate(cluster_nodes):
         st = int(starts[node])
         c = int(counts[node])
-        prim = bvh.prim_order[st : st + c]
         base = ci * CLUSTER_SIZE
-        v0 = tri_v0[prim]
-        e1c = tri_e1[prim]
-        e2c = tri_e2[prim]
-        blocks[0:3, base : base + c] = v0.T
-        blocks[3:6, base : base + c] = e1c.T
-        blocks[6:9, base : base + c] = e2c.T
-        blocks[9, base : base + c] = prim_ids[prim].astype(np.float32)
-        blocks[9, base + c : base + CLUSTER_SIZE] = -1.0
-        # 16-triangle sub-group AABBs (BVH leaf order keeps groups tight)
-        lo3 = np.minimum(np.minimum(v0, v0 + e1c), v0 + e2c)
-        hi3 = np.maximum(np.maximum(v0, v0 + e1c), v0 + e2c)
-        for g in range((c + TRI_GROUP - 1) // TRI_GROUP):
-            gs = slice(g * TRI_GROUP, min((g + 1) * TRI_GROUP, c))
-            blocks[10:13, base + g] = lo3[gs].min(axis=0)
-            blocks[13:16, base + g] = hi3[gs].max(axis=0)
+        perm[base : base + c] = bvh.prim_order[st : st + c]
 
+    blocks = _fill_blocks(perm, tri_v0, tri_e1, tri_e2, prim_ids)
     sc_order, sc_key = _direction_orders(sc_aabb)
     return Hierarchy(
         sc_aabb=sc_aabb,
@@ -207,6 +197,91 @@ def extract_hierarchy(
         sc_key=sc_key,
         cl_meta=cl_meta,
         blocks=blocks,
+        root_lo=bvh.bounds_min[0].astype(np.float32).copy(),
+        root_hi=bvh.bounds_max[0].astype(np.float32).copy(),
+        sc_nodes=np.asarray(sc_nodes, np.int64),
+        cluster_nodes=np.asarray(cluster_nodes, np.int64),
+        mem_slots=np.asarray(mem_slots, np.int64),
+        perm=perm,
+    )
+
+
+def _fill_blocks(perm, tri_v0, tri_e1, tri_e2, prim_ids=None):
+    """Triangle-block SoA fill from the slot->prim permutation (shared by
+    the initial build and per-frame refits): one C++ memory pass when the
+    native lib is available, vectorized numpy otherwise."""
+    if prim_ids is None:
+        prim_ids = np.arange(tri_v0.shape[0], dtype=np.int64)
+    from .native import blocks_fill_native
+
+    nb = blocks_fill_native(
+        perm, tri_v0, tri_e1, tri_e2, prim_ids, CLUSTER_SIZE, TRI_GROUP
+    )
+    if nb is not None:
+        return nb
+    n_slots = perm.shape[0]
+    blocks = np.zeros((TRI_COMPONENTS, n_slots), np.float32)
+    filled = perm >= 0
+    p = np.where(filled, perm, 0)
+    v0 = tri_v0[p].astype(np.float32)
+    e1c = tri_e1[p].astype(np.float32)
+    e2c = tri_e2[p].astype(np.float32)
+    m = filled[None, :]
+    blocks[0:3] = np.where(m, v0.T, 0.0)
+    blocks[3:6] = np.where(m, e1c.T, 0.0)
+    blocks[6:9] = np.where(m, e2c.T, 0.0)
+    blocks[9] = np.where(filled, prim_ids[p].astype(np.float32), -1.0)
+    # 16-triangle sub-group AABBs (BVH leaf order keeps groups tight);
+    # padded slots contribute (+inf, -inf) so empty groups fail every slab
+    lo3 = np.minimum(np.minimum(v0, v0 + e1c), v0 + e2c)
+    hi3 = np.maximum(np.maximum(v0, v0 + e1c), v0 + e2c)
+    lo3 = np.where(filled[:, None], lo3, 1e30)
+    hi3 = np.where(filled[:, None], hi3, -1e30)
+    n_groups = n_slots // TRI_GROUP
+    glo = lo3.reshape(n_groups, TRI_GROUP, 3).min(axis=1)
+    ghi = hi3.reshape(n_groups, TRI_GROUP, 3).max(axis=1)
+    # group g of cluster ci lives in column ci*CLUSTER_SIZE + g
+    k = n_slots // CLUSTER_SIZE
+    cols = (
+        np.arange(k)[:, None] * CLUSTER_SIZE + np.arange(N_TRI_GROUPS)
+    ).ravel()
+    blocks[10:13, :] = 1e30
+    blocks[13:16, :] = -1e30
+    blocks[10:13, cols] = glo.reshape(k * N_TRI_GROUPS, 3).T
+    blocks[13:16, cols] = ghi.reshape(k * N_TRI_GROUPS, 3).T
+    return blocks
+
+
+def refit_hierarchy(
+    h: Hierarchy,
+    bvh: BVH,
+    tri_v0: np.ndarray,
+    tri_e1: np.ndarray,
+    tri_e2: np.ndarray,
+    prim_ids: np.ndarray | None = None,
+) -> Hierarchy:
+    """Per-frame hierarchy update with FIXED cut topology: rewrite
+    supercluster/cluster bounds from the refit BVH and re-fill triangle
+    blocks through the cached permutation — the animation-step analog of
+    OptiX's IAS/GAS refit (renderer.h:614-640) without re-cutting. The
+    BVH must already be refit (accel.bvh.refit_bvh); topology (prim_order,
+    tree shape) must be unchanged."""
+    assert h.perm is not None, "hierarchy was built without a refit cache"
+    sc_aabb = np.concatenate(
+        [bvh.bounds_min[h.sc_nodes].T, bvh.bounds_max[h.sc_nodes].T]
+    ).astype(np.float32)
+    cl_meta = h.cl_meta.copy()
+    cl_meta[0:3, h.mem_slots] = bvh.bounds_min[h.cluster_nodes].T
+    cl_meta[3:6, h.mem_slots] = bvh.bounds_max[h.cluster_nodes].T
+    blocks = _fill_blocks(h.perm, tri_v0, tri_e1, tri_e2, prim_ids)
+    sc_order, sc_key = _direction_orders(sc_aabb)
+    return dataclasses.replace(
+        h,
+        sc_aabb=sc_aabb,
+        cl_meta=cl_meta,
+        blocks=blocks,
+        sc_order=sc_order,
+        sc_key=sc_key,
         root_lo=bvh.bounds_min[0].astype(np.float32).copy(),
         root_hi=bvh.bounds_max[0].astype(np.float32).copy(),
     )

@@ -56,6 +56,12 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
         f32p, f32p, ctypes.c_int64,
         i32p, i32p, i32p, i32p, i32p, f32p, f32p,
     ]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.blocks_fill.restype = None
+    lib.blocks_fill.argtypes = [
+        i64p, f32p, f32p, f32p, i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f32p,
+    ]
     _lib = lib
     return _lib
 
@@ -116,3 +122,22 @@ def refit_bvh_native(bvh, tri_lo: np.ndarray, tri_hi: np.ndarray) -> bool:
         bvh.bounds_max,
     )
     return True
+
+
+def blocks_fill_native(perm, v0, e1, e2, prim_ids, cluster_size, tri_group):
+    """Triangle-block SoA fill through the cached permutation (the per-
+    frame hot path of the animation refit); None when the lib is absent."""
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    n_slots = perm.shape[0]
+    blocks = np.empty((16, n_slots), np.float32)
+    lib.blocks_fill(
+        np.ascontiguousarray(perm, np.int64),
+        np.ascontiguousarray(v0, np.float32),
+        np.ascontiguousarray(e1, np.float32),
+        np.ascontiguousarray(e2, np.float32),
+        np.ascontiguousarray(prim_ids, np.int64),
+        n_slots, cluster_size, tri_group, blocks,
+    )
+    return blocks

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.bvh import build_bvh, refit_bvh
-from ..accel.cluster import build_tlas, extract_hierarchy
+from ..accel.cluster import build_tlas, extract_hierarchy, refit_hierarchy
 from ..accel.pallas_clustered import prepare_clustered
 from ..accel.pallas_dense import prepare_tri_soa
 from ..accel.traverse import build_device_bvh
@@ -110,9 +110,8 @@ def build_device_scene(scene: Scene) -> Dict:
 
     # cluster hierarchy: baked geometry = one BLAS + one identity instance
     # (the TLAS analog; true N-instance mode arrives via instanced scenes)
-    tlas = build_tlas(
-        [extract_hierarchy(bvh, v0, e1, e2)], [(0, np.eye(4))]
-    )
+    hier = extract_hierarchy(bvh, v0, e1, e2)
+    tlas = build_tlas([hier], [(0, np.eye(4))])
 
     # explicit world-space light SoA: NEE sampling never gathers through
     # the (possibly object-space, instanced) face tables
@@ -164,7 +163,7 @@ def build_device_scene(scene: Scene) -> Dict:
     if n_faces <= DENSE_MAX_FACES:
         dev["tri_soa"] = prepare_tri_soa(v0, e1, e2)
     # host-side handles for animation refresh
-    dev["_host"] = {"scene": scene, "bvh": bvh}
+    dev["_host"] = {"scene": scene, "bvh": bvh, "hier": hier}
     return dev
 
 
@@ -188,10 +187,18 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
         new["bvh"] = build_device_bvh(bvh, v0, e1, e2)
     if "tri_soa" in dev:
         new["tri_soa"] = prepare_tri_soa(v0, e1, e2)
+    # animation step keeps the cut topology and only refits bounds +
+    # triangle data (the IAS/GAS refit analog, renderer.h:614-640) —
+    # the full re-cut loops over every cluster in python and costs
+    # seconds per frame on million-triangle scenes
+    hier = host.get("hier")
+    if hier is not None and hier.perm is not None:
+        hier = refit_hierarchy(hier, bvh, v0, e1, e2)
+    else:
+        hier = extract_hierarchy(bvh, v0, e1, e2)
+    host["hier"] = hier
     new["clusters"] = prepare_clustered(
-        build_tlas(
-            [extract_hierarchy(bvh, v0, e1, e2)], [(0, np.eye(4))]
-        )
+        build_tlas([hier], [(0, np.eye(4))])
     )
     new["face_verts"] = jnp.asarray(fd["verts"])
     new["face_normals"] = jnp.asarray(fd["normals"])

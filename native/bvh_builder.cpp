@@ -241,4 +241,64 @@ void bvh_refit(const float *tri_lo, const float *tri_hi, int64_t n_nodes,
   }
 }
 
+// Fill the clustered traversal's triangle-block SoA from the cached
+// slot->prim permutation (accel/cluster.py _fill_blocks twin): rows 0-8 =
+// v0/e1/e2 components, row 9 = prim id (-1 pad), rows 10-15 = 16-triangle
+// sub-group AABBs in the first n_slots/16-per-cluster columns. One memory
+// pass; the hot per-frame cost of the animation refit path.
+void blocks_fill(const int64_t *perm, const float *v0, const float *e1,
+                 const float *e2, const int64_t *prim_ids, int64_t n_slots,
+                 int64_t cluster_size, int64_t tri_group, float *blocks) {
+  const float INF = 1e30f;
+  float *rows[16];
+  for (int r = 0; r < 16; ++r) rows[r] = blocks + r * n_slots;
+  int64_t n_groups_per_cluster = cluster_size / tri_group;
+  for (int64_t i = 0; i < n_slots; ++i) {
+    rows[10][i] = INF;
+    rows[11][i] = INF;
+    rows[12][i] = INF;
+    rows[13][i] = -INF;
+    rows[14][i] = -INF;
+    rows[15][i] = -INF;
+  }
+  for (int64_t g0 = 0; g0 < n_slots; g0 += tri_group) {
+    float glo[3] = {INF, INF, INF};
+    float ghi[3] = {-INF, -INF, -INF};
+    for (int64_t i = g0; i < g0 + tri_group; ++i) {
+      int64_t p = perm[i];
+      if (p < 0) {
+        for (int r = 0; r < 9; ++r) rows[r][i] = 0.0f;
+        rows[9][i] = -1.0f;
+        continue;
+      }
+      float a[3], b[3], c[3];
+      for (int k = 0; k < 3; ++k) {
+        a[k] = v0[3 * p + k];
+        b[k] = e1[3 * p + k];
+        c[k] = e2[3 * p + k];
+        rows[k][i] = a[k];
+        rows[3 + k][i] = b[k];
+        rows[6 + k][i] = c[k];
+        float p1 = a[k] + b[k], p2 = a[k] + c[k];
+        float lo = a[k] < p1 ? a[k] : p1;
+        lo = lo < p2 ? lo : p2;
+        float hi = a[k] > p1 ? a[k] : p1;
+        hi = hi > p2 ? hi : p2;
+        if (lo < glo[k]) glo[k] = lo;
+        if (hi > ghi[k]) ghi[k] = hi;
+      }
+      rows[9][i] = (float)prim_ids[p];
+    }
+    // group g of cluster ci lives in column ci*cluster_size + g
+    int64_t gidx = g0 / tri_group;
+    int64_t ci = gidx / n_groups_per_cluster;
+    int64_t g = gidx % n_groups_per_cluster;
+    int64_t col = ci * cluster_size + g;
+    for (int k = 0; k < 3; ++k) {
+      rows[10 + k][col] = glo[k];
+      rows[13 + k][col] = ghi[k];
+    }
+  }
+}
+
 }  // extern "C"

@@ -273,3 +273,39 @@ class TestClusteredTraversal:
             dev_c, jnp.asarray(o), jnp.asarray(d), 1e9, identity=False
         )
         np.testing.assert_array_equal(np.asarray(occ), hitm)
+
+
+class TestHierarchyRefit:
+    def test_refit_matches_full_rebuild(self):
+        """refit_hierarchy (fixed cut topology, animation path) must equal
+        a from-scratch extract_hierarchy on the moved geometry."""
+        import numpy as np
+
+        from fredholm_tpu.accel.bvh import build_bvh, refit_bvh
+        from fredholm_tpu.accel.cluster import (
+            extract_hierarchy,
+            refit_hierarchy,
+        )
+        from fredholm_tpu.scene.procedural import terrain
+
+        sc = terrain(n=24, size=4.0)
+        v = sc.vertices[sc.indices]
+        v0, e1, e2 = v[:, 0], v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]
+        bvh = build_bvh(v.min(1), v.max(1), thread=False)
+        h0 = extract_hierarchy(bvh, v0, e1, e2)
+
+        # move the geometry (same topology), refit
+        v2 = v * 1.01 + np.asarray([0.1, -0.05, 0.2], np.float32)
+        w0, f1, f2 = v2[:, 0], v2[:, 1] - v2[:, 0], v2[:, 2] - v2[:, 0]
+        refit_bvh(bvh, v2.min(1), v2.max(1))
+        got = refit_hierarchy(h0, bvh, w0, f1, f2)
+        want = extract_hierarchy(bvh, w0, f1, f2)
+
+        np.testing.assert_array_equal(got.sc_aabb, want.sc_aabb)
+        np.testing.assert_array_equal(got.sc_mcount, want.sc_mcount)
+        np.testing.assert_array_equal(got.sc_order, want.sc_order)
+        np.testing.assert_array_equal(got.sc_key, want.sc_key)
+        np.testing.assert_array_equal(got.cl_meta, want.cl_meta)
+        np.testing.assert_array_equal(got.blocks, want.blocks)
+        np.testing.assert_array_equal(got.root_lo, want.root_lo)
+        np.testing.assert_array_equal(got.root_hi, want.root_hi)
