@@ -135,6 +135,15 @@ class ViewerServer:
         self.lock = threading.Lock()
         self._stop = threading.Event()
         self._render_thread = None
+        # snapshots served while the render thread holds the lock (the
+        # first jit compile takes 30-300 s on TPU; the page must stay
+        # responsive through it)
+        self._png_cache: bytes = b""
+        self._state_cache: bytes = json.dumps(
+            {"spp": 0, "max_samples": 0, "aov": "beauty", "sky": "constant",
+             "scene": scene, "scenes": [scene], "camera": [0.0, 0.0, 0.0],
+             "busy": True}
+        ).encode()
 
     # -- render loop --------------------------------------------------------
 
@@ -162,23 +171,42 @@ class ViewerServer:
 
     # -- state + commands ----------------------------------------------------
 
+    def _snapshot_locked(self):
+        """Refresh the cached state/frame; caller must hold the lock."""
+        st = self.ctl.state
+        cam = self.ctl.renderer.camera
+        self._state_cache = json.dumps({
+            "spp": st.n_samples,
+            "max_samples": st.max_samples,
+            "aov": st.aov_type.name.lower(),
+            "sky": st.sky_type.name.lower(),
+            "scene": self.scene_name,
+            "scenes": self.ctl.scene_names(),
+            "camera": [float(v) for v in np.asarray(cam.origin)],
+            "busy": False,
+        }).encode()
+        self._png_cache = png_bytes(self.ctl.get_display_image())
+
     def state_json(self) -> bytes:
-        with self.lock:
-            st = self.ctl.state
-            cam = self.ctl.renderer.camera
-            return json.dumps({
-                "spp": st.n_samples,
-                "max_samples": st.max_samples,
-                "aov": st.aov_type.name.lower(),
-                "sky": st.sky_type.name.lower(),
-                "scene": self.scene_name,
-                "scenes": self.ctl.scene_names(),
-                "camera": [float(v) for v in np.asarray(cam.origin)],
-            }).encode()
+        # non-blocking: a tick (or first compile) in flight serves the last
+        # snapshot instead of stalling the page
+        if self.lock.acquire(timeout=0.2):
+            try:
+                self._snapshot_locked()
+            finally:
+                self.lock.release()
+        return self._state_cache
 
     def frame_png(self) -> bytes:
-        with self.lock:
-            return png_bytes(self.ctl.get_display_image())
+        if self.lock.acquire(timeout=0.2):
+            try:
+                self._png_cache = png_bytes(self.ctl.get_display_image())
+            finally:
+                self.lock.release()
+        if self._png_cache:
+            return self._png_cache
+        # 1x1 placeholder before the first frame exists
+        return png_bytes(np.zeros((1, 1, 3), np.float32))
 
     def handle_cmd(self, cmd: dict) -> dict:
         op = cmd.get("op")
