@@ -66,6 +66,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--kill-time", type=float, default=590.0)
     # post
     ap.add_argument("--denoise", action="store_true")
+    ap.add_argument(
+        "--temporal", action="store_true",
+        help="reprojection-validated temporal blend across animation "
+        "frames (denoise/temporal.py; exceeds the reference's per-frame "
+        "denoise, rtcamp8.cpp:159-246)",
+    )
+    ap.add_argument("--temporal-alpha", type=float, default=0.85)
     ap.add_argument("--bloom", action="store_true")
     ap.add_argument("--bloom-threshold", type=float, default=2.0)
     ap.add_argument("--bloom-sigma", type=float, default=5.0)
@@ -154,6 +161,12 @@ def main(argv=None) -> int:
         chromatic_aberration=args.chromatic_aberration,
     )
 
+    temporal = None
+    if args.temporal:
+        from ..denoise.temporal import TemporalAccumulator
+
+        temporal = TemporalAccumulator(alpha=args.temporal_alpha)
+
     # writer thread (save_thread analog, rtcamp8.cpp:248-297)
     frame_queue: "queue.Queue" = queue.Queue(maxsize=4)
 
@@ -210,6 +223,17 @@ def main(argv=None) -> int:
                             albedo=layers["albedo"],
                         )
                     img = layer_to_image(np.asarray(d), args.width, args.height)
+
+        if temporal is not None and args.aov in ("beauty", "denoised"):
+            with timer.stage("temporal"):
+                img = temporal(
+                    np.asarray(img),
+                    layer_to_image(
+                        np.asarray(r.layers["position"]),
+                        args.width, args.height,
+                    ),
+                    r.camera.device_params(),
+                )
 
         with timer.stage("post_process"):
             if args.raw or args.aov not in ("beauty", "denoised"):
