@@ -80,7 +80,12 @@ _GATE = _os.environ.get("FREDHOLM_TRAV_GATE", "")
 STAT_NAMES = ("inst_visits", "sc_tests", "sc_visits", "cl_tests",
               "cl_visits", "grp_tests", "grp_visits", "tri_tests")
 
-_HBM_SPACE = getattr(pltpu, "HBM", getattr(pl, "ANY", pltpu.ANY))
+if hasattr(pltpu, "HBM"):
+    _HBM_SPACE = pltpu.HBM
+elif hasattr(pl, "ANY"):
+    _HBM_SPACE = pl.ANY
+else:  # oldest API; touching pltpu.ANY on new jax warns deprecation
+    _HBM_SPACE = pltpu.ANY
 
 
 def prepare_clustered(tlas: TLAS) -> Dict:
