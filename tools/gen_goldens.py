@@ -231,12 +231,65 @@ def golden_scenes():
         r.set_bg_color((0.4, 0.5, 0.7))
         return r, dict(n_samples=8, max_depth=3)
 
+    def clear_coat():
+        # ClearCoatTest.gltf analog (controller.h:61): coat=1 sweeping
+        # coat roughness over a red base
+        r = Renderer(width=48, height=48)
+        r.set_scene(
+            sphere_array_test(
+                "coat_roughness", [0.05, 0.6],
+                base=Material(coat=1.0, base_color=(0.6, 0.1, 0.1)),
+                spacing=1.05,
+            )
+        )
+        r.camera.origin = np.asarray([0.0, 0.6, 1.8], np.float32)
+        r.camera._update_transform()
+        r.set_bg_color((0.7, 0.75, 0.8))
+        return r, dict(n_samples=12, max_depth=4)
+
+    def sheen():
+        # sheen_test analog (controller.h:53)
+        r = Renderer(width=48, height=48)
+        r.set_scene(
+            sphere_array_test(
+                "sheen", [0.3, 1.0],
+                base=Material(base_color=(0.2, 0.2, 0.5),
+                              sheen_color=(0.9, 0.9, 0.9)),
+                spacing=1.05,
+            )
+        )
+        r.camera.origin = np.asarray([0.0, 0.6, 1.8], np.float32)
+        r.camera._update_transform()
+        r.set_directional_light((3, 3, 3), (0.3, 1.0, 0.4), angle=1.0)
+        r.set_bg_color((0.1, 0.1, 0.12))
+        return r, dict(n_samples=12, max_depth=3)
+
+    def metal_rough_grid():
+        # MetalRoughSpheres.gltf analog (controller.h:60): 2D sweep
+        from fredholm_tpu.scene.procedural import sphere_grid_test
+
+        r = Renderer(width=64, height=64)
+        r.set_scene(
+            sphere_grid_test(
+                "metalness", [0.0, 0.5, 1.0],
+                "specular_roughness", [0.1, 0.6],
+                spacing=1.0,
+            )
+        )
+        r.camera.origin = np.asarray([0.0, 1.2, 3.4], np.float32)
+        r.camera._update_transform()
+        r.set_bg_color((0.5, 0.6, 0.7))
+        return r, dict(n_samples=12, max_depth=3)
+
     return {
         "cornell": cornell,
         "metal_row": metal_row,
         "furnace": furnace,
         "hosek_sun": hosek_sun,
         "transmission": transmission,
+        "clear_coat": clear_coat,
+        "sheen": sheen,
+        "metal_rough_grid": metal_rough_grid,
         "transmission_rough": transmission_rough,
         "spec_transmission": spec_transmission,
         "diffuse_transmission": diffuse_transmission,
