@@ -61,6 +61,12 @@ _PAGE = """<!doctype html>
  <label>scene <select id="scene"></select></label>
  <label>sky <select id="sky">
    <option>constant</option><option>arhosek</option></select></label>
+ <label>fov <input id="fov" type="number" value="90" min="10" max="160"
+   style="width:4em"></label>
+ <label>f/ <input id="fn" type="number" value="100" min="0.7" max="100"
+   step="0.1" style="width:4em"></label>
+ <label>focus <input id="fc" type="number" value="8" min="0.1" step="0.1"
+   style="width:4em"></label>
  <button id="denoise">denoise</button>
  <button id="save">save png</button>
  <span>move <kbd>WASD</kbd><kbd>Q</kbd><kbd>E</kbd>, drag to look</span>
@@ -89,6 +95,9 @@ refresh();
 $("aov").onchange=e=>post({op:"aov",name:e.target.value});
 $("scene").onchange=e=>post({op:"scene",name:e.target.value});
 $("sky").onchange=e=>post({op:"sky",name:e.target.value});
+const camPost=()=>post({op:"camera_params",fov:+$("fov").value,
+  f_number:+$("fn").value,focus:+$("fc").value});
+$("fov").onchange=camPost;$("fn").onchange=camPost;$("fc").onchange=camPost;
 $("denoise").onclick=()=>post({op:"denoise"});
 $("save").onclick=()=>post({op:"save"});
 window.onkeydown=e=>{
@@ -240,6 +249,13 @@ class ViewerServer:
                 self.ctl.state.aov_type = AOVType.DENOISED
             elif op == "max_samples":
                 self.ctl.state.max_samples = int(cmd["value"])
+            elif op == "camera_params":
+                # fov/F-number/focus sliders (gui.cpp:136-315 camera pane)
+                st = self.ctl.state
+                st.fov_deg = float(cmd.get("fov", st.fov_deg))
+                st.f_number = float(cmd.get("f_number", st.f_number))
+                st.focus = float(cmd.get("focus", st.focus))
+                self.ctl.update_camera_params()
             elif op == "clear":
                 self.ctl.clear_render()
             elif op == "save":

@@ -91,3 +91,17 @@ class TestWebViewer:
         vs, url = viewer
         out = _post(url, {"op": "fly"})
         assert not out["ok"]
+
+    def test_camera_params_command(self, viewer):
+        """fov/F/focus sliders (gui.cpp camera pane analog) apply to the
+        renderer camera and restart accumulation."""
+        vs, url = viewer
+        vs.tick_once()
+        out = _post(url, {"op": "camera_params", "fov": 45.0,
+                          "f_number": 2.0, "focus": 3.5})
+        assert out["ok"]
+        cam = vs.ctl.renderer.camera
+        assert abs(float(cam.fov) - np.deg2rad(45.0)) < 1e-6
+        assert float(cam.f_number) == 2.0 and float(cam.focus) == 3.5
+        st = json.loads(_get(url + "/state"))
+        assert st["spp"] == 0
