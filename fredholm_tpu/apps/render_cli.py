@@ -80,6 +80,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--chromatic-aberration", type=float, default=1.0)
     ap.add_argument("--tonemap", choices=["uchimura", "aces"], default="uchimura")
     ap.add_argument("--raw", action="store_true", help="skip post-processing")
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="progressive-state snapshot (.npz) for still renders: resumed "
+        "if present, written between spp chunks and on the kill timer — "
+        "a long render survives preemption (exceeds the reference, whose "
+        "state lives only in device memory, renderer.h:650-655)",
+    )
     ap.add_argument("--aov", default="beauty",
                     choices=["beauty", "denoised", "position", "normal",
                              "depth", "texcoord", "albedo"])
@@ -189,6 +196,15 @@ def main(argv=None) -> int:
     )
     time_step = 1.0 / args.fps
 
+    resume_spp = 0
+    if args.checkpoint and not args.animation and os.path.exists(
+        args.checkpoint if args.checkpoint.endswith(".npz")
+        else args.checkpoint + ".npz"
+    ):
+        r.load_checkpoint(args.checkpoint)
+        resume_spp = int(np.asarray(r.sample_count).min())
+        log.info("resumed checkpoint at %d spp", resume_spp)
+
     for frame in range(n_frames):
         if time.time() - global_t0 > args.kill_time:
             log.warning("kill timer reached, stopping early at frame %d", frame)
@@ -196,10 +212,30 @@ def main(argv=None) -> int:
         if args.animation:
             with timer.stage("set_time"):
                 r.set_time(frame * time_step)
-        r.init_render_states()
+            r.init_render_states()
+        elif resume_spp == 0:
+            r.init_render_states()
         with timer.stage("render"):
-            r.render(n_samples=args.spp, max_depth=args.max_depth)
-            r.wait_for_completion()
+            if args.checkpoint and not args.animation:
+                # chunked progressive render with durable snapshots: the
+                # kill timer can fire mid-still and a later run resumes
+                todo = max(args.spp - resume_spp, 0)
+                chunk = max(min(todo, max(args.spp // 8, 1)), 1)
+                while todo > 0:
+                    n = min(chunk, todo)
+                    r.render(n_samples=n, max_depth=args.max_depth)
+                    r.wait_for_completion()
+                    r.save_checkpoint(args.checkpoint)
+                    todo -= n
+                    if time.time() - global_t0 > args.kill_time:
+                        log.warning(
+                            "kill timer mid-still; checkpoint saved at "
+                            "%d spp", args.spp - todo,
+                        )
+                        break
+            else:
+                r.render(n_samples=args.spp, max_depth=args.max_depth)
+                r.wait_for_completion()
 
         with timer.stage("transfer"):
             if args.aov == "denoised":
