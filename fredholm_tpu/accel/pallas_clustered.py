@@ -56,27 +56,47 @@ from .cluster import (
 LANES = 128
 # 2k rays per program instance: measured on the 1M-tri terrain scene,
 # 16-sublane tiles cull ~6x better than 64-sublane ones on primary rays
-SUBLANES = 16
+# (re-confirmed under twopass gating: 8/16/32 probe, 16 still optimal).
+# FREDHOLM_TRAV_SUBLANES overrides for probing only.
+import os as _os
+
+SUBLANES = int(_os.environ.get("FREDHOLM_TRAV_SUBLANES", "16"))
 RAY_TILE = LANES * SUBLANES
 
 # perf-ablation hook (tools/probe_traversal.py): "notri" stubs the
 # Moller-Trumbore math, "nogrp" also skips the sub-group sweep, "noblkdma"
 # additionally skips the triangle-block DMA — isolates where traversal
 # time goes on real hardware. Production value is "".
-import os as _os
-
 _ABLATE = _os.environ.get("FREDHOLM_TRAV_ABLATE", "")
 # FREDHOLM_TRAV_STATS=1 adds per-tile visit counters (SMEM) to the kernel
 # outputs; intersect_*_clustered then return a "stats" vector
 # [inst_visits, sc_tests, sc_visits, cl_tests, cl_visits, grp_tests,
 #  grp_visits, tri_tests] summed over tiles (tools/probe_traversal.py)
 _STATS = _os.environ.get("FREDHOLM_TRAV_STATS", "") == "1"
-# cluster gating strategy: "" = gate+sweep fused per cluster (one
-# predicated region per cluster); "twopass" = vector-gate ALL clusters of
+# cluster gating strategy: "twopass" (DEFAULT — measured +22% primary /
+# +18% bounce on the 1M-tri terrain, round 3) vector-gates ALL clusters of
 # the supercluster first (8 slab tests per fori iteration, interested ids
-# appended to an SMEM list), then sweep only the selected ids — amortizes
-# the per-cluster loop/branch overhead that dominates incoherent tiles
-_GATE = _os.environ.get("FREDHOLM_TRAV_GATE", "")
+# appended to an SMEM list), then sweeps only the selected ids — amortizes
+# the per-cluster loop/branch overhead that dominates incoherent tiles.
+# "fused" = the old gate+sweep per cluster (one predicated region each).
+_GATE = _os.environ.get("FREDHOLM_TRAV_GATE", "twopass")
+if _GATE == "fused":
+    _GATE = ""
+# supercluster meta fetch strategy. Hypothesis (round-3 stats: incoherent
+# tiles visit 349/539 superclusters, so per-sc 4 KB cl_meta DMAs pay the
+# ~3.5 us per-transfer issue cost 349x per tile): DMA NSC superclusters'
+# meta per transfer in memory order ("stream"), pre-gated by the chunk's
+# sc slab tests, selected PER TILE by exit_ok (the condition under which
+# front-to-back ordering pays). MEASURED AND REJECTED on the 1M-tri
+# terrain (tools/probe_traversal.py, twopass gating): bounce 0.40 ordered
+# vs 0.38 stream vs 0.40 auto Mrays/s, primary 1.82 / 1.13 / 1.69 — the
+# merged DMA saves less than the lost per-sc gating context costs, and
+# the auto variant's double-size kernel taxes primary rays ~7%. Default
+# "0" (always ordered); FREDHOLM_TRAV_STREAM=1/auto re-probe.
+_STREAM = _os.environ.get("FREDHOLM_TRAV_STREAM", "0")
+NSC = int(_os.environ.get("FREDHOLM_TRAV_NSC", "8"))
+# SMEM cl_meta buffer width: only the stream path needs NSC groups
+_CLM_GROUPS = 1 if _STREAM == "0" else NSC
 STAT_NAMES = ("inst_visits", "sc_tests", "sc_visits", "cl_tests",
               "cl_visits", "grp_tests", "grp_visits", "tri_tests")
 
@@ -91,12 +111,18 @@ else:  # oldest API; touching pltpu.ANY on new jax warns deprecation
 def prepare_clustered(tlas: TLAS) -> Dict:
     """Device arrays for the kernels (traced pytree — the static
     `inst_identity` bool travels via pt.STATIC_DEV_KEYS instead)."""
+    # NSC*SC_GROUP columns of tail padding keep the stream path's merged
+    # chunk DMA in-bounds for the last chunk of the last instance
+    # (unpadded when the stream path is compiled out)
+    cl_meta = jnp.asarray(tlas.cl_meta)
+    if _STREAM != "0":
+        cl_meta = jnp.pad(cl_meta, ((0, 0), (0, NSC * SC_GROUP)))
     return {
         "sc_aabb": jnp.asarray(tlas.sc_aabb),          # [6, S] SMEM
         "sc_mcount": jnp.asarray(tlas.sc_mcount),      # [S] SMEM
         "sc_order": jnp.asarray(tlas.sc_order),        # [6, S] SMEM
         "sc_key": jnp.asarray(tlas.sc_key),            # [6, S] SMEM
-        "cl_meta": jnp.asarray(tlas.cl_meta),          # [8, S*128] HBM
+        "cl_meta": cl_meta,                            # [8, (S+NSC)*128] HBM
         "blocks": jnp.asarray(tlas.blocks),            # [16, K*256] HBM
         "inst_aabb": jnp.asarray(tlas.inst_aabb),      # [6, I] SMEM
         "inst_minv": jnp.asarray(tlas.inst_minv),      # [12, I] SMEM
@@ -244,6 +270,172 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                         sc_lo = inst_sc[0, i]
                         sc_n = inst_sc[1, i]
 
+                        def cluster_sweep(j):
+                            """Sweep member cluster at clm COLUMN j (the
+                            caller adds any chunk offset)."""
+                            bump(4)
+                            if _ABLATE == "noblkdma":
+                                best_u[:] = best_u[:] + 1e-30
+                                return
+                            cid = clm[7, j].astype(jnp.int32)
+                            dma_b = pltpu.make_async_copy(
+                                blocks_hbm.at[
+                                    :,
+                                    pl.ds(cid * CLUSTER_SIZE, CLUSTER_SIZE),
+                                ],
+                                smem,
+                                sem_b,
+                            )
+                            dma_b.start()
+                            dma_b.wait()
+                            cnt = clm[6, j].astype(jnp.int32)
+
+                            def grp_sweep(g):
+                                """Statically-unrolled 16-tri sweep with
+                                local best accumulation: the dynamic
+                                per-triangle fori_loop was iteration-
+                                overhead bound (~150 ns/iter on this chip
+                                dwarfing the ~45-op MT math); a straight-
+                                line block with static SMEM offsets and ONE
+                                ref merge per group lets mosaic pipeline
+                                the whole sweep."""
+                                bump(6)
+                                base = g * TRI_GROUP
+                                gt = best_t[:]
+                                gp = best_prim[:]
+                                if not any_hit:
+                                    gu = best_u[:]
+                                    gv = best_v[:]
+                                for k in range(TRI_GROUP):
+                                    bump(7)
+                                    kk = base + k
+                                    if _ABLATE == "notri":
+                                        continue
+                                    t, u, v, valid = _mt_scalar(
+                                        smem, kk,
+                                        ox, oy, oz, dx, dy, dz,
+                                    )
+                                    improved = (
+                                        valid & (t < gt)
+                                        & (kk < cnt)
+                                    )
+                                    gp = jnp.where(
+                                        improved, smem[9, kk], gp
+                                    )
+                                    if not any_hit:
+                                        gu = jnp.where(improved, u, gu)
+                                        gv = jnp.where(improved, v, gv)
+                                        gt = jnp.where(improved, t, gt)
+                                if not any_hit and n_inst > 1:
+                                    best_inst[:] = jnp.where(
+                                        gt < best_t[:],
+                                        i.astype(jnp.float32),
+                                        best_inst[:],
+                                    )
+                                best_prim[:] = gp
+                                if not any_hit:
+                                    best_u[:] = gu
+                                    best_v[:] = gv
+                                    best_t[:] = gt
+
+                            # 16-tri sub-groups, each gated by its own AABB
+                            # (block rows 10-15): a tile grazed by few rays
+                            # skips most of the triangle sweep. Static
+                            # loop: group AABB offsets are compile-time
+                            # constants; empty tail groups are gated by the
+                            # scalar cnt test
+                            for g in range(N_TRI_GROUPS):
+                                bump(5)
+                                if _ABLATE == "nogrp":
+                                    best_u[:] = (
+                                        best_u[:] + smem[10, g] * 1e-30
+                                    )
+                                    continue
+                                ghit = _slab(
+                                    smem[10, g], smem[11, g],
+                                    smem[12, g], smem[13, g],
+                                    smem[14, g], smem[15, g],
+                                    ox, oy, oz, *inv, best_t[:],
+                                )
+                                if any_hit:
+                                    ghit = ghit & (best_prim[:] < 0.0)
+
+                                pl.when(
+                                    jnp.any(ghit)
+                                    & (g * TRI_GROUP < cnt)
+                                )(lambda g=g: grp_sweep(g))
+
+                        def sweep_clusters(mcount, koff):
+                            """Gate + sweep mcount member clusters whose
+                            meta sits at clm columns [koff, koff+mcount)."""
+                            if _GATE == "twopass":
+                                # pass 1: slab-gate every cluster, 8 per
+                                # fori iteration (amortizes loop/branch
+                                # overhead), appending interested COLUMN
+                                # ids to the SMEM list
+                                def gate8(c, cnt):
+                                    base = koff + c * 8
+                                    for k in range(8):
+                                        bump(3)
+                                        j = base + k
+                                        bhit = _slab_cols(
+                                            clm, j, ox, oy, oz, *inv,
+                                            best_t[:],
+                                        )
+                                        if any_hit:
+                                            bhit = bhit & (
+                                                best_prim[:] < 0.0
+                                            )
+                                        ok = (
+                                            jnp.any(bhit)
+                                            & (c * 8 + k < mcount)
+                                        ).astype(jnp.int32)
+                                        # write-then-advance: stale writes
+                                        # are overwritten by the next
+                                        # candidate
+                                        sel[0, cnt] = j
+                                        cnt = cnt + ok
+                                    return cnt
+
+                                n_sel = jax.lax.fori_loop(
+                                    0, (mcount + 7) // 8, gate8,
+                                    jnp.int32(0),
+                                )
+
+                                def sweep_sel(k, _):
+                                    j = sel[0, k]
+                                    # re-gate with the tightened best_t
+                                    # (earlier sweeps may have occluded
+                                    # this cluster since pass 1)
+                                    bhit = _slab_cols(
+                                        clm, j, ox, oy, oz, *inv,
+                                        best_t[:],
+                                    )
+                                    if any_hit:
+                                        bhit = bhit & (best_prim[:] < 0.0)
+                                    pl.when(jnp.any(bhit))(
+                                        lambda: cluster_sweep(j)
+                                    )
+                                    return 0
+
+                                jax.lax.fori_loop(0, n_sel, sweep_sel, 0)
+                            else:
+                                def cl_body(j0, _):
+                                    bump(3)
+                                    j = koff + j0
+                                    bhit = _slab_cols(
+                                        clm, j, ox, oy, oz, *inv,
+                                        best_t[:],
+                                    )
+                                    if any_hit:
+                                        bhit = bhit & (best_prim[:] < 0.0)
+                                    pl.when(jnp.any(bhit))(
+                                        lambda: cluster_sweep(j)
+                                    )
+                                    return 0
+
+                                jax.lax.fori_loop(0, mcount, cl_body, 0)
+
                         # front-to-back ordering: dominant direction class of
                         # the tile's ALIVE rays picks one of the 6 precomputed
                         # visit orders (the skip-link 6-threading idea applied
@@ -280,232 +472,154 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                         d_hi = jnp.max(jnp.where(alive, dax, neg_big))
                         exit_ok = ~jnp.any(alive & (dax <= 1e-7))
 
-                        def sc_cond(carry):
-                            k, done = carry
-                            return (k < sc_n) & (done == 0)
+                        def sweep_ordered():
+                            def sc_cond(carry):
+                                k, done = carry
+                                return (k < sc_n) & (done == 0)
 
-                        def sc_body(carry):
-                            k, done = carry
-                            bump(1)
-                            s = sc_order[o_id, sc_lo + k]
-                            shit = alive & _slab_cols(
-                                sc_aabb, s, ox, oy, oz, *inv, best_t[:]
-                            )
-                            if any_hit:
-                                shit = shit & (best_prim[:] < 0.0)
-
-                            @pl.when(jnp.any(shit))
-                            def _():
-                                bump(2)
-                                dma_m = pltpu.make_async_copy(
-                                    cl_meta_hbm.at[
-                                        :, pl.ds(s * SC_GROUP, SC_GROUP)
-                                    ],
-                                    clm,
-                                    sem_m,
+                            def sc_body(carry):
+                                k, done = carry
+                                bump(1)
+                                s = sc_order[o_id, sc_lo + k]
+                                shit = alive & _slab_cols(
+                                    sc_aabb, s, ox, oy, oz, *inv, best_t[:]
                                 )
-                                dma_m.start()
-                                dma_m.wait()
+                                if any_hit:
+                                    shit = shit & (best_prim[:] < 0.0)
 
-                                def cluster_sweep(j):
-                                    bump(4)
-                                    if _ABLATE == "noblkdma":
-                                        best_u[:] = best_u[:] + 1e-30
-                                    else:
-                                        cid = clm[7, j].astype(jnp.int32)
-                                        dma_b = pltpu.make_async_copy(
-                                            blocks_hbm.at[
-                                                :,
-                                                pl.ds(
-                                                    cid * CLUSTER_SIZE,
-                                                    CLUSTER_SIZE,
-                                                ),
-                                            ],
-                                            smem,
-                                            sem_b,
-                                        )
-                                        dma_b.start()
-                                        dma_b.wait()
-                                        cnt = clm[6, j].astype(jnp.int32)
-
-                                        def grp_sweep(g):
-                                            """Statically-unrolled 16-tri
-                                            sweep with local best accumulation:
-                                            the dynamic per-triangle fori_loop
-                                            was iteration-overhead bound (~150
-                                            ns/iter on this chip dwarfing the
-                                            ~45-op MT math); a straight-line
-                                            block with static SMEM offsets and
-                                            ONE ref merge per group lets mosaic
-                                            pipeline the whole sweep."""
-                                            bump(6)
-                                            base = g * TRI_GROUP
-                                            gt = best_t[:]
-                                            gp = best_prim[:]
-                                            if not any_hit:
-                                                gu = best_u[:]
-                                                gv = best_v[:]
-                                            for k in range(TRI_GROUP):
-                                                bump(7)
-                                                kk = base + k
-                                                if _ABLATE == "notri":
-                                                    continue
-                                                t, u, v, valid = _mt_scalar(
-                                                    smem, kk,
-                                                    ox, oy, oz, dx, dy, dz,
-                                                )
-                                                improved = (
-                                                    valid & (t < gt)
-                                                    & (kk < cnt)
-                                                )
-                                                gp = jnp.where(
-                                                    improved, smem[9, kk], gp
-                                                )
-                                                if not any_hit:
-                                                    gu = jnp.where(
-                                                        improved, u, gu
-                                                    )
-                                                    gv = jnp.where(
-                                                        improved, v, gv
-                                                    )
-                                                    gt = jnp.where(
-                                                        improved, t, gt
-                                                    )
-                                            if not any_hit and n_inst > 1:
-                                                best_inst[:] = jnp.where(
-                                                    gt < best_t[:],
-                                                    i.astype(jnp.float32),
-                                                    best_inst[:],
-                                                )
-                                            best_prim[:] = gp
-                                            if not any_hit:
-                                                best_u[:] = gu
-                                                best_v[:] = gv
-                                                best_t[:] = gt
-
-                                        # 16-tri sub-groups, each gated by its
-                                        # own AABB (block rows 10-15): a tile
-                                        # grazed by few rays skips most of the
-                                        # triangle sweep. Static loop: group
-                                        # AABB offsets are compile-time
-                                        # constants; empty tail groups are
-                                        # gated by the scalar cnt test
-                                        for g in range(N_TRI_GROUPS):
-                                            bump(5)
-                                            if _ABLATE == "nogrp":
-                                                best_u[:] = (
-                                                    best_u[:]
-                                                    + smem[10, g] * 1e-30
-                                                )
-                                                continue
-                                            ghit = _slab(
-                                                smem[10, g], smem[11, g],
-                                                smem[12, g], smem[13, g],
-                                                smem[14, g], smem[15, g],
-                                                ox, oy, oz, *inv, best_t[:],
-                                            )
-                                            if any_hit:
-                                                ghit = ghit & (
-                                                    best_prim[:] < 0.0
-                                                )
-
-                                            pl.when(
-                                                jnp.any(ghit)
-                                                & (g * TRI_GROUP < cnt)
-                                            )(lambda g=g: grp_sweep(g))
-
-                                mcount = sc_mcount[s]
-                                if _GATE == "twopass":
-                                    # pass 1: slab-gate every cluster of
-                                    # the supercluster, 8 per fori
-                                    # iteration (amortizes loop/branch
-                                    # overhead), appending interested ids
-                                    # to the SMEM list
-                                    def gate8(c, cnt):
-                                        base = c * 8
-                                        for k in range(8):
-                                            bump(3)
-                                            j = base + k
-                                            bhit = _slab_cols(
-                                                clm, j, ox, oy, oz, *inv,
-                                                best_t[:],
-                                            )
-                                            if any_hit:
-                                                bhit = bhit & (
-                                                    best_prim[:] < 0.0
-                                                )
-                                            ok = (
-                                                jnp.any(bhit) & (j < mcount)
-                                            ).astype(jnp.int32)
-                                            # write-then-advance: stale
-                                            # writes are overwritten by the
-                                            # next candidate
-                                            sel[0, cnt] = j
-                                            cnt = cnt + ok
-                                        return cnt
-
-                                    n_sel = jax.lax.fori_loop(
-                                        0, (mcount + 7) // 8, gate8,
-                                        jnp.int32(0),
+                                @pl.when(jnp.any(shit))
+                                def _():
+                                    bump(2)
+                                    dma_m = pltpu.make_async_copy(
+                                        cl_meta_hbm.at[
+                                            :, pl.ds(s * SC_GROUP, SC_GROUP)
+                                        ],
+                                        clm.at[:, pl.ds(0, SC_GROUP)],
+                                        sem_m,
                                     )
+                                    dma_m.start()
+                                    dma_m.wait()
+                                    sweep_clusters(sc_mcount[s], 0)
 
-                                    def sweep_sel(k, _):
-                                        j = sel[0, k]
-                                        # re-gate with the tightened best_t
-                                        # (earlier sweeps may have occluded
-                                        # this cluster since pass 1)
-                                        bhit = _slab_cols(
-                                            clm, j, ox, oy, oz, *inv,
-                                            best_t[:],
-                                        )
-                                        if any_hit:
-                                            bhit = bhit & (
-                                                best_prim[:] < 0.0
-                                            )
-                                        pl.when(jnp.any(bhit))(
-                                            lambda: cluster_sweep(j)
-                                        )
-                                        return 0
-
-                                    jax.lax.fori_loop(0, n_sel, sweep_sel, 0)
+                                # early exit: remaining (front-to-back)
+                                # boxes are provably beyond every alive
+                                # lane's best t
+                                k1 = k + 1
+                                if any_hit:
+                                    # occlusion queries also stop when
+                                    # every alive lane already found a hit
+                                    all_occ = ~jnp.any(
+                                        alive & (best_prim[:] < 0.0)
+                                    )
                                 else:
-                                    def cl_body(j, _):
-                                        bump(3)
-                                        bhit = _slab_cols(
-                                            clm, j, ox, oy, oz, *inv,
-                                            best_t[:],
-                                        )
-                                        if any_hit:
-                                            bhit = bhit & (
-                                                best_prim[:] < 0.0
+                                    all_occ = False
+                                t_cap = jnp.max(
+                                    jnp.where(alive, best_t[:], neg_big)
+                                )
+                                key_n = sc_key[o_id, sc_lo + jnp.minimum(
+                                    k1, sc_n - 1
+                                )]
+                                t_lb = (key_n - o_hi) / jnp.maximum(
+                                    d_hi, 1e-30
+                                )
+                                done_n = (exit_ok & (t_lb > t_cap)) | all_occ
+                                return k1, done_n.astype(jnp.int32)
+
+                            jax.lax.while_loop(
+                                sc_cond, sc_body, (jnp.int32(0), jnp.int32(0))
+                            )
+
+                        def sweep_stream():
+                            """Memory-order sweep with merged NSC-super-
+                            cluster meta DMAs, for tiles where the ordered
+                            early exit can't fire (incoherent directions —
+                            they visit ~65% of all superclusters, so fewer,
+                            bigger transfers beat ordering)."""
+                            n_chunks = (sc_n + NSC - 1) // NSC
+
+                            def ch_cond(carry):
+                                c, done = carry
+                                return (c < n_chunks) & (done == 0)
+
+                            def ch_body(carry):
+                                c, done = carry
+                                base = sc_lo + c * NSC
+                                # per-sc pass bits packed into one scalar
+                                # so the sweep below can be a fori_loop —
+                                # unrolling it would inline the whole
+                                # cluster sweep (128 MT evals) NSC times
+                                hitbits = jnp.int32(0)
+                                n_sc_total = sc_aabb.shape[1]
+                                for k in range(NSC):
+                                    bump(1)
+                                    # tail candidates are gated off below
+                                    # but their slab test still executes —
+                                    # clamp the SMEM column
+                                    s = jnp.minimum(base + k, n_sc_total - 1)
+                                    shit = alive & _slab_cols(
+                                        sc_aabb, s, ox, oy, oz, *inv,
+                                        best_t[:],
+                                    )
+                                    if any_hit:
+                                        shit = shit & (best_prim[:] < 0.0)
+                                    bit = (
+                                        jnp.any(shit) & (c * NSC + k < sc_n)
+                                    ).astype(jnp.int32)
+                                    hitbits = hitbits | (bit << k)
+
+                                @pl.when(hitbits != 0)
+                                def _():
+                                    dma_m = pltpu.make_async_copy(
+                                        cl_meta_hbm.at[
+                                            :,
+                                            pl.ds(
+                                                base * SC_GROUP,
+                                                NSC * SC_GROUP,
+                                            ),
+                                        ],
+                                        clm,
+                                        sem_m,
+                                    )
+                                    dma_m.start()
+                                    dma_m.wait()
+
+                                    def sweep_k(k, _):
+                                        def do_k():
+                                            bump(2)
+                                            sweep_clusters(
+                                                sc_mcount[base + k],
+                                                k * SC_GROUP,
                                             )
-                                        pl.when(jnp.any(bhit))(
-                                            lambda: cluster_sweep(j)
-                                        )
+                                        # chunk gates used the best_t from
+                                        # BEFORE this chunk's sweeps —
+                                        # conservative; gate8 re-gates per
+                                        # cluster with the tightened t
+                                        pl.when(
+                                            ((hitbits >> k) & 1) == 1
+                                        )(do_k)
                                         return 0
 
-                                    jax.lax.fori_loop(0, mcount, cl_body, 0)
+                                    jax.lax.fori_loop(0, NSC, sweep_k, 0)
 
-                            # early exit: remaining (front-to-back) boxes are
-                            # provably beyond every alive lane's best t
-                            k1 = k + 1
-                            if any_hit:
-                                # occlusion queries also stop when every alive
-                                # lane already found a hit
-                                all_occ = ~jnp.any(alive & (best_prim[:] < 0.0))
-                            else:
-                                all_occ = False
-                            t_cap = jnp.max(jnp.where(alive, best_t[:], neg_big))
-                            key_n = sc_key[o_id, sc_lo + jnp.minimum(
-                                k1, sc_n - 1
-                            )]
-                            t_lb = (key_n - o_hi) / jnp.maximum(d_hi, 1e-30)
-                            done_n = (exit_ok & (t_lb > t_cap)) | all_occ
-                            return k1, done_n.astype(jnp.int32)
+                                if any_hit:
+                                    done_n = ~jnp.any(
+                                        alive & (best_prim[:] < 0.0)
+                                    )
+                                else:
+                                    done_n = done != 0
+                                return c + 1, done_n.astype(jnp.int32)
 
-                        jax.lax.while_loop(
-                            sc_cond, sc_body, (jnp.int32(0), jnp.int32(0))
-                        )
+                            jax.lax.while_loop(
+                                ch_cond, ch_body, (jnp.int32(0), jnp.int32(0))
+                            )
+
+                        if _STREAM == "0":
+                            sweep_ordered()
+                        elif _STREAM == "1":
+                            sweep_stream()
+                        else:
+                            pl.when(exit_ok)(sweep_ordered)
+                            pl.when(~exit_ok)(sweep_stream)
 
                     return 0
 
@@ -588,7 +702,9 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
             pltpu.VMEM((sub, LANES), jnp.float32),
             pltpu.VMEM((sub, LANES), jnp.float32),
             pltpu.VMEM((sub, LANES), jnp.float32),
-            pltpu.SMEM((CL_META_ROWS, SC_GROUP), jnp.float32),
+            # _CLM_GROUPS supercluster meta groups (stream path needs NSC;
+            # the ordered path uses columns [0, SC_GROUP) only)
+            pltpu.SMEM((CL_META_ROWS, _CLM_GROUPS * SC_GROUP), jnp.float32),
             pltpu.SMEM((TRI_COMPONENTS, CLUSTER_SIZE), jnp.float32),
             pltpu.SMEM((8, SC_GROUP), jnp.int32),  # twopass sel list (row 0)
             pltpu.SemaphoreType.DMA,
