@@ -197,13 +197,16 @@ def _bench_sharded(width, height, spp, max_depth):
     count = jax.device_put(r.sample_count, NamedSharding(mesh, P("tiles")))
 
     # two warmups: first post-compile dispatch carries ~10x overhead on
-    # the axon tunnel (see _timed_render)
+    # the axon tunnel (see _timed_render). Warm with FULL spp-chunk calls
+    # (4 spp each) — a 1-spp warmup compiles the chunk=1 step while the
+    # timed loop runs the chunk=4 step, putting its compile inside the
+    # timed region (the round-3 0.033 Mpv/s artifact)
     layers, count = render_progressive_sharded(
-        mesh, dev, static_params, dynamic, layers, count, 1
+        mesh, dev, static_params, dynamic, layers, count, 4
     )
     float(np.asarray(layers["n_path_vertices"]))
     layers, count = render_progressive_sharded(
-        mesh, dev, static_params, dynamic, layers, count, 1
+        mesh, dev, static_params, dynamic, layers, count, 4
     )
     v0 = float(np.asarray(layers["n_path_vertices"]))
     t0 = time.time()

@@ -248,10 +248,31 @@ class Renderer:
         # fused pipeline's [N]-plane intermediates drop back into the
         # small-frame working-set regime. Sample streams are unchanged
         # (global pixel indexing) — banding is a pure scheduling choice.
-        self.band_height = int(os.environ.get("FREDHOLM_BAND_H", "0"))
+        # Default "auto": largest 8-divisible divisor of height keeping
+        # the band at <= ~300k lanes (the 512^2 regime; measured 1080p
+        # sweep: band_h=120 27.0 vs whole-frame 21.0 Mpv/s).
+        bh = os.environ.get("FREDHOLM_BAND_H", "auto")
+        if bh == "auto":
+            self.band_height = self._auto_band_h(width, height)
+        else:
+            self.band_height = int(bh)
 
 
         self.init_render_states()
+
+    @staticmethod
+    def _auto_band_h(width: int, height: int, max_lanes: int = 300_000) -> int:
+        """Band height for large frames: the largest divisor of height
+        that is a multiple of 8 (pixel-swizzle contract) and keeps the
+        band under ~300k lanes — the 512^2 working-set regime where the
+        fused pipeline's [N]-plane intermediates stay cache-resident."""
+        if width * height <= max_lanes:
+            return 0
+        best = 0
+        for bh in range(8, height, 8):
+            if height % bh == 0 and width * bh <= max_lanes:
+                best = bh
+        return best
 
     # -- scene ------------------------------------------------------------
 
