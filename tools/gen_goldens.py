@@ -231,6 +231,23 @@ def golden_scenes():
         r.set_bg_color((0.4, 0.5, 0.7))
         return r, dict(n_samples=8, max_depth=3)
 
+    def terrain_cluster():
+        # image-level regression for the FLATTENED supercluster traversal
+        # (identity kernel variant; VERDICT r2 weak #7) — 8k tris is past
+        # DENSE_MAX_FACES so this runs intersect_*_clustered, and the
+        # hosek sky + bounce rays exercise the incoherent (stream) sweep
+        from fredholm_tpu.scene.procedural import terrain
+
+        r = Renderer(width=48, height=48)
+        r.set_scene(terrain(n=64, size=8.0, amp=1.2))
+        r.camera.origin = np.asarray([0.0, 2.6, 5.5], np.float32)
+        r.camera.look_around(0.0, -0.35)
+        r.camera._update_transform()
+        r.set_directional_light((2.0, 1.9, 1.8), (0.35, 0.75, 0.3),
+                                angle=0.5)
+        r.load_arhosek_sky(3.0, 0.3)
+        return r, dict(n_samples=6, max_depth=3)
+
     def clear_coat():
         # ClearCoatTest.gltf analog (controller.h:61): coat=1 sweeping
         # coat roughness over a red base
@@ -300,6 +317,7 @@ def golden_scenes():
         "thinlens": thinlens,
         "thin_film": thin_film,
         "instanced": instanced,
+        "terrain_cluster": terrain_cluster,
     }
 
 
