@@ -47,6 +47,19 @@ SC_TARGET_MEMBERS = 32
 CL_META_ROWS = 8
 # six iteration orders: axis*2 + sign (ascending along +axis / -axis)
 N_ORDERS = 6
+# 4th gating level: REG_SIZE consecutive superclusters of a visit order
+# share one union AABB ("region"), so a tile that misses a far-field
+# stretch of the front-to-back order pays one slab test instead of
+# REG_SIZE. Round-3 stats motivated it: the per-tile gate floor was 539
+# supercluster slab tests on the 1M-tri terrain. Measured on the chip
+# (1M-tri terrain, same-day A/B): REG 0/2/4/8/16 -> primary 1.10 / 1.17 /
+# ~1.55 / 1.46 / 1.30 Mrays/s, bounce flat 0.37-0.40; default 4.
+# FREDHOLM_TRAV_REG=0 compiles the kernel without the level (tables are
+# still built).
+import os as _os
+
+REG_SIZE = int(_os.environ.get("FREDHOLM_TRAV_REG", "4"))
+_REG_BUILD = REG_SIZE if REG_SIZE > 0 else 8
 
 
 @dataclasses.dataclass
@@ -75,6 +88,10 @@ class Hierarchy:
     blocks: np.ndarray
     root_lo: np.ndarray
     root_hi: np.ndarray
+    # reg_aabb: [6, N_ORDERS * R] float32, R = ceil(S / REG_SIZE): region
+    # r of visit order o (union AABB over order positions [r*REG,
+    # (r+1)*REG)) at column o * R + r — the kernel's 4th gating level
+    reg_aabb: np.ndarray = None
     # refit cache (animation path): the cut topology, so per-frame updates
     # only rewrite bounds + triangle data instead of re-cutting
     sc_nodes: np.ndarray = None       # [S] BVH node of each supercluster
@@ -195,6 +212,7 @@ def extract_hierarchy(
         sc_mcount=sc_mcount,
         sc_order=sc_order,
         sc_key=sc_key,
+        reg_aabb=_region_tables(sc_aabb, sc_order),
         cl_meta=cl_meta,
         blocks=blocks,
         root_lo=bvh.bounds_min[0].astype(np.float32).copy(),
@@ -282,6 +300,7 @@ def refit_hierarchy(
         blocks=blocks,
         sc_order=sc_order,
         sc_key=sc_key,
+        reg_aabb=_region_tables(sc_aabb, sc_order),
         root_lo=bvh.bounds_min[0].astype(np.float32).copy(),
         root_hi=bvh.bounds_max[0].astype(np.float32).copy(),
     )
@@ -310,6 +329,36 @@ def _direction_orders(sc_aabb: np.ndarray):
     return sc_order, sc_key
 
 
+def _region_tables(sc_aabb: np.ndarray, sc_order: np.ndarray) -> np.ndarray:
+    """Union AABBs over REG_SIZE-runs of each visit order (4th gate level).
+
+    Region r of order o covers order positions [r*REG, (r+1)*REG); the
+    tail region unions only the existing members. Layout [6, N_ORDERS*R]
+    with (o, r) at column o*R + r."""
+    s = sc_aabb.shape[1]
+    r = -(-s // _REG_BUILD)
+    reg = np.zeros((6, N_ORDERS * r), np.float32)
+    # pad order positions with a sentinel that contributes an empty AABB
+    lo = sc_aabb[0:3]
+    hi = sc_aabb[3:6]
+    for o in range(N_ORDERS):
+        ids = sc_order[o]
+        pad = r * _REG_BUILD - s
+        plo = np.concatenate(
+            [lo[:, ids], np.full((3, pad), 1e30, np.float32)], axis=1
+        ).reshape(3, r, _REG_BUILD)
+        phi = np.concatenate(
+            [hi[:, ids], np.full((3, pad), -1e30, np.float32)], axis=1
+        ).reshape(3, r, _REG_BUILD)
+        reg[0:3, o * r : (o + 1) * r] = plo.min(axis=2)
+        reg[3:6, o * r : (o + 1) * r] = phi.max(axis=2)
+    return reg
+
+
+def n_regions(n_sc: int) -> int:
+    return -(-n_sc // _REG_BUILD)
+
+
 # ---------------------------------------------------------------------------
 # TLAS: instances over BLAS hierarchies
 
@@ -336,9 +385,11 @@ class TLAS:
     """Flat concatenation of BLAS levels plus the instance table.
 
     inst_aabb: [6, I] world AABBs; inst_minv: [12, I] world->object affine
-    rows; inst_sc: [2, I] int32 (supercluster base, count) into the
-    concatenated sc tables; inst_identity: True when every instance is the
-    identity (the kernel then skips the per-instance ray transform).
+    rows; inst_sc: [3, I] int32 (supercluster base, count, region base)
+    into the concatenated sc/region tables; inst_identity: True when every
+    instance is the identity (the kernel then skips the per-instance ray
+    transform). reg_aabb: per-order region unions, [6, N_ORDERS*R_total]
+    with (order o, global region g) at column o*R_total + g.
     """
 
     sc_aabb: np.ndarray
@@ -351,6 +402,7 @@ class TLAS:
     inst_minv: np.ndarray
     inst_sc: np.ndarray
     inst_identity: bool
+    reg_aabb: np.ndarray = None
 
     @property
     def n_instances(self) -> int:
@@ -369,9 +421,13 @@ def build_tlas(
     assert blas_list and instances
     sc_base = np.zeros(len(blas_list), np.int64)
     cl_base = np.zeros(len(blas_list), np.int64)
+    reg_base = np.zeros(len(blas_list), np.int64)
     for b in range(1, len(blas_list)):
         sc_base[b] = sc_base[b - 1] + blas_list[b - 1].n_superclusters
         cl_base[b] = cl_base[b - 1] + blas_list[b - 1].n_clusters
+        reg_base[b] = reg_base[b - 1] + n_regions(
+            blas_list[b - 1].n_superclusters
+        )
 
     sc_aabb = np.concatenate([h.sc_aabb for h in blas_list], axis=1)
     sc_mcount = np.concatenate([h.sc_mcount for h in blas_list])
@@ -390,11 +446,23 @@ def build_tlas(
         metas.append(m)
     cl_meta = np.concatenate(metas, axis=1)
     blocks = np.concatenate([h.blocks for h in blas_list], axis=1)
+    # per-order region blocks: concat the order-o slice of every BLAS, then
+    # stack the orders, so (o, reg_base[b] + r) sits at o*R_total + ...
+    r_total = int(reg_base[-1]) + n_regions(blas_list[-1].n_superclusters)
+    reg_aabb = np.zeros((6, N_ORDERS * r_total), np.float32)
+    for o in range(N_ORDERS):
+        off = 0
+        for h in blas_list:
+            rb = n_regions(h.n_superclusters)
+            reg_aabb[:, o * r_total + off : o * r_total + off + rb] = (
+                h.reg_aabb[:, o * rb : (o + 1) * rb]
+            )
+            off += rb
 
     n_i = len(instances)
     inst_aabb = np.zeros((6, n_i), np.float32)
     inst_minv = np.zeros((12, n_i), np.float32)
-    inst_sc = np.zeros((2, n_i), np.int32)
+    inst_sc = np.zeros((3, n_i), np.int32)
     identity = True
     for i, (b, m4) in enumerate(instances):
         h = blas_list[b]
@@ -406,9 +474,11 @@ def build_tlas(
         inst_minv[:, i] = minv[:3, :].reshape(-1)
         inst_sc[0, i] = sc_base[b]
         inst_sc[1, i] = h.n_superclusters
+        inst_sc[2, i] = reg_base[b]
         if not np.allclose(m4, np.eye(4), atol=1e-7):
             identity = False
     return TLAS(
+        reg_aabb=reg_aabb,
         sc_aabb=sc_aabb,
         sc_mcount=sc_mcount,
         sc_order=sc_order,
@@ -436,13 +506,17 @@ def update_tlas_instances(
     import jax.numpy as jnp
 
     sc_base = np.zeros(len(blas_list), np.int64)
+    reg_base = np.zeros(len(blas_list), np.int64)
     for b in range(1, len(blas_list)):
         sc_base[b] = sc_base[b - 1] + blas_list[b - 1].n_superclusters
+        reg_base[b] = reg_base[b - 1] + n_regions(
+            blas_list[b - 1].n_superclusters
+        )
 
     n_i = len(instances)
     inst_aabb = np.zeros((6, n_i), np.float32)
     inst_minv = np.zeros((12, n_i), np.float32)
-    inst_sc = np.zeros((2, n_i), np.int32)
+    inst_sc = np.zeros((3, n_i), np.int32)
     for i, (b, m4) in enumerate(instances):
         h = blas_list[b]
         m4 = np.asarray(m4, np.float32)
@@ -452,6 +526,7 @@ def update_tlas_instances(
         inst_minv[:, i] = np.linalg.inv(m4)[:3, :].reshape(-1)
         inst_sc[0, i] = sc_base[b]
         inst_sc[1, i] = h.n_superclusters
+        inst_sc[2, i] = reg_base[b]
     new = dict(dev_c)
     new["inst_aabb"] = jnp.asarray(inst_aabb)
     new["inst_minv"] = jnp.asarray(inst_minv)

@@ -46,7 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .cluster import (
     CL_META_ROWS,
     CLUSTER_SIZE,
+    N_ORDERS,
     N_TRI_GROUPS,
+    REG_SIZE,
     SC_GROUP,
     TLAS,
     TRI_COMPONENTS,
@@ -118,6 +120,7 @@ def prepare_clustered(tlas: TLAS) -> Dict:
     if _STREAM != "0":
         cl_meta = jnp.pad(cl_meta, ((0, 0), (0, NSC * SC_GROUP)))
     return {
+        "reg_aabb": jnp.asarray(tlas.reg_aabb),        # [6, 6*R] SMEM
         "sc_aabb": jnp.asarray(tlas.sc_aabb),          # [6, S] SMEM
         "sc_mcount": jnp.asarray(tlas.sc_mcount),      # [S] SMEM
         "sc_order": jnp.asarray(tlas.sc_order),        # [6, S] SMEM
@@ -203,7 +206,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                  stats: bool = False):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                inst_aabb, inst_minv, inst_sc, sc_aabb, sc_mcount,
-               sc_order, sc_key,
+               sc_order, sc_key, reg_aabb,
                cl_meta_hbm, blocks_hbm,
                t_out, prim_out, u_out, v_out, inst_out,
                *rest):
@@ -269,6 +272,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
 
                         sc_lo = inst_sc[0, i]
                         sc_n = inst_sc[1, i]
+                        reg_lo = inst_sc[2, i]
 
                         def cluster_sweep(j):
                             """Sweep member cluster at clm COLUMN j (the
@@ -472,6 +476,42 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                         d_hi = jnp.max(jnp.where(alive, dax, neg_big))
                         exit_ok = ~jnp.any(alive & (dax <= 1e-7))
 
+                        def _sc_visit(s):
+                            """DMA supercluster s's member meta and sweep."""
+                            bump(2)
+                            dma_m = pltpu.make_async_copy(
+                                cl_meta_hbm.at[
+                                    :, pl.ds(s * SC_GROUP, SC_GROUP)
+                                ],
+                                clm.at[:, pl.ds(0, SC_GROUP)],
+                                sem_m,
+                            )
+                            dma_m.start()
+                            dma_m.wait()
+                            sweep_clusters(sc_mcount[s], 0)
+
+                        def _exit_state(k1_pos):
+                            """Early-exit flag after order position k1_pos:
+                            remaining (front-to-back) boxes are provably
+                            beyond every alive lane's best t, or (any_hit)
+                            every alive lane is already occluded."""
+                            if any_hit:
+                                all_occ = ~jnp.any(
+                                    alive & (best_prim[:] < 0.0)
+                                )
+                            else:
+                                all_occ = False
+                            t_cap = jnp.max(
+                                jnp.where(alive, best_t[:], neg_big)
+                            )
+                            key_n = sc_key[o_id, sc_lo + jnp.minimum(
+                                k1_pos, sc_n - 1
+                            )]
+                            t_lb = (key_n - o_hi) / jnp.maximum(
+                                d_hi, 1e-30
+                            )
+                            return (exit_ok & (t_lb > t_cap)) | all_occ
+
                         def sweep_ordered():
                             def sc_cond(carry):
                                 k, done = carry
@@ -487,47 +527,95 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                 if any_hit:
                                     shit = shit & (best_prim[:] < 0.0)
 
-                                @pl.when(jnp.any(shit))
-                                def _():
-                                    bump(2)
-                                    dma_m = pltpu.make_async_copy(
-                                        cl_meta_hbm.at[
-                                            :, pl.ds(s * SC_GROUP, SC_GROUP)
-                                        ],
-                                        clm.at[:, pl.ds(0, SC_GROUP)],
-                                        sem_m,
-                                    )
-                                    dma_m.start()
-                                    dma_m.wait()
-                                    sweep_clusters(sc_mcount[s], 0)
+                                pl.when(jnp.any(shit))(lambda: _sc_visit(s))
 
-                                # early exit: remaining (front-to-back)
-                                # boxes are provably beyond every alive
-                                # lane's best t
                                 k1 = k + 1
-                                if any_hit:
-                                    # occlusion queries also stop when
-                                    # every alive lane already found a hit
-                                    all_occ = ~jnp.any(
-                                        alive & (best_prim[:] < 0.0)
-                                    )
-                                else:
-                                    all_occ = False
-                                t_cap = jnp.max(
-                                    jnp.where(alive, best_t[:], neg_big)
-                                )
-                                key_n = sc_key[o_id, sc_lo + jnp.minimum(
-                                    k1, sc_n - 1
-                                )]
-                                t_lb = (key_n - o_hi) / jnp.maximum(
-                                    d_hi, 1e-30
-                                )
-                                done_n = (exit_ok & (t_lb > t_cap)) | all_occ
+                                done_n = _exit_state(k1)
                                 return k1, done_n.astype(jnp.int32)
 
                             jax.lax.while_loop(
                                 sc_cond, sc_body, (jnp.int32(0), jnp.int32(0))
                             )
+
+                        def sweep_ordered_regions():
+                            """Ordered sweep gated by the 4th level: REG_SIZE
+                            consecutive order positions share one union AABB
+                            (cluster.py _region_tables), so a far-field
+                            stretch of the order costs ONE slab test for the
+                            tile instead of REG_SIZE. Inside a hit region the
+                            per-sc tests run unrolled with pass bits packed
+                            into a scalar; the fori sweep below keeps ONE
+                            copy of the cluster-sweep body (the stream
+                            path's code-size trick)."""
+                            r_total = reg_aabb.shape[1] // N_ORDERS
+                            n_reg = (sc_n + REG_SIZE - 1) // REG_SIZE
+
+                            def rg_cond(carry):
+                                kr, done = carry
+                                return (kr < n_reg) & (done == 0)
+
+                            def rg_body(carry):
+                                kr, done = carry
+                                rcol = o_id * r_total + reg_lo + kr
+                                rhit = alive & _slab_cols(
+                                    reg_aabb, rcol, ox, oy, oz, *inv,
+                                    best_t[:],
+                                )
+                                if any_hit:
+                                    rhit = rhit & (best_prim[:] < 0.0)
+
+                                @pl.when(jnp.any(rhit))
+                                def _():
+                                    hitbits = jnp.int32(0)
+                                    for k in range(REG_SIZE):
+                                        bump(1)
+                                        idx = kr * REG_SIZE + k
+                                        s = sc_order[
+                                            o_id,
+                                            sc_lo + jnp.minimum(
+                                                idx, sc_n - 1
+                                            ),
+                                        ]
+                                        shit = alive & _slab_cols(
+                                            sc_aabb, s, ox, oy, oz, *inv,
+                                            best_t[:],
+                                        )
+                                        if any_hit:
+                                            shit = shit & (
+                                                best_prim[:] < 0.0
+                                            )
+                                        bit = (
+                                            jnp.any(shit) & (idx < sc_n)
+                                        ).astype(jnp.int32)
+                                        hitbits = hitbits | (bit << k)
+
+                                    @pl.when(hitbits != 0)
+                                    def _():
+                                        def sweep_k(k, _):
+                                            def do_k():
+                                                _sc_visit(sc_order[
+                                                    o_id,
+                                                    sc_lo + kr * REG_SIZE + k,
+                                                ])
+                                            pl.when(
+                                                ((hitbits >> k) & 1) == 1
+                                            )(do_k)
+                                            return 0
+
+                                        jax.lax.fori_loop(
+                                            0, REG_SIZE, sweep_k, 0
+                                        )
+
+                                k1 = kr + 1
+                                done_n = _exit_state(k1 * REG_SIZE)
+                                return k1, done_n.astype(jnp.int32)
+
+                            jax.lax.while_loop(
+                                rg_cond, rg_body, (jnp.int32(0), jnp.int32(0))
+                            )
+
+                        if REG_SIZE > 0:
+                            sweep_ordered = sweep_ordered_regions
 
                         def sweep_stream():
                             """Memory-order sweep with merged NSC-super-
@@ -689,6 +777,7 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_mcount [S]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_order [6, S]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_key [6, S]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # reg_aabb [6, 6*R]
             pl.BlockSpec(memory_space=_HBM_SPACE),  # cl_meta [8, S*128]
             pl.BlockSpec(memory_space=_HBM_SPACE),  # blocks [16, K*256]
         ],
@@ -719,6 +808,7 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
         dev_c["sc_mcount"],
         dev_c["sc_order"],
         dev_c["sc_key"],
+        dev_c["reg_aabb"],
         dev_c["cl_meta"],
         dev_c["blocks"],
     )
