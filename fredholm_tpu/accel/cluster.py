@@ -59,6 +59,9 @@ N_ORDERS = 6
 import os as _os
 
 REG_SIZE = int(_os.environ.get("FREDHOLM_TRAV_REG", "4"))
+# REG_SIZE >= 32 would overflow the int32 hitbits packing in the kernel's
+# sweep_ordered_regions (bit << k) and silently drop supercluster visits
+assert 0 <= REG_SIZE < 32, "FREDHOLM_TRAV_REG must be in [0, 32)"
 _REG_BUILD = REG_SIZE if REG_SIZE > 0 else 8
 
 

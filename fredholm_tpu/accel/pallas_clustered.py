@@ -99,6 +99,10 @@ _STREAM = _os.environ.get("FREDHOLM_TRAV_STREAM", "0")
 NSC = int(_os.environ.get("FREDHOLM_TRAV_NSC", "8"))
 # SMEM cl_meta buffer width: only the stream path needs NSC groups
 _CLM_GROUPS = 1 if _STREAM == "0" else NSC
+# NOTE sc_tests semantics under regions (REG_SIZE > 0): counted once per
+# order position INSIDE a hit region (clamped tail duplicates included)
+# and not at all for region-level slab tests, so values are not comparable
+# to REG_SIZE=0 probes; region tests themselves are uncounted.
 STAT_NAMES = ("inst_visits", "sc_tests", "sc_visits", "cl_tests",
               "cl_visits", "grp_tests", "grp_visits", "tri_tests")
 
@@ -129,7 +133,7 @@ def prepare_clustered(tlas: TLAS) -> Dict:
         "blocks": jnp.asarray(tlas.blocks),            # [16, K*256] HBM
         "inst_aabb": jnp.asarray(tlas.inst_aabb),      # [6, I] SMEM
         "inst_minv": jnp.asarray(tlas.inst_minv),      # [12, I] SMEM
-        "inst_sc": jnp.asarray(tlas.inst_sc),          # [2, I] SMEM
+        "inst_sc": jnp.asarray(tlas.inst_sc),          # [3, I] SMEM
     }
 
 
@@ -772,7 +776,7 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
         + [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_aabb [6, I]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_minv [12, I]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_sc [2, I]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_sc [3, I]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_aabb [6, S]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_mcount [S]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_order [6, S]
