@@ -294,9 +294,10 @@ def main() -> None:
         """Run metric n if selected and affordable; never raise."""
         if args.only not in (0, n):
             return
-        # non-primary metrics keep a 60s reserve so the primary always runs
-        reserve = 0 if n == 1 else 60
-        if args.only == 0 and _left() - reserve < est_s:
+        # non-primary metrics keep a 60s reserve so the primary always
+        # runs; the primary itself is NEVER budget-skipped (the driver
+        # parses the last JSON line as the headline)
+        if args.only == 0 and n != 1 and _left() - 60 < est_s:
             print(
                 f"bench: skipping metric {n} ({name}): "
                 f"{_left():.0f}s left < est {est_s}s",

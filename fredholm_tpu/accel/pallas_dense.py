@@ -302,6 +302,22 @@ def intersect_closest_pallas(tris: Dict, o, d, t_max):
     }
 
 
+def intersect_any_pallas_c(tris: Dict, o, d, t_max):
+    """Component-SoA any-hit entry (see intersect_closest_pallas_c):
+    o, d are (x, y, z) triples of [N] arrays; returns occluded [N] bool."""
+    n = o[0].shape[0]
+    n_pad = -(-n // RAY_TILE) * RAY_TILE
+    o_t = _component_tiles(*o, n_pad)
+    d_t = _component_tiles(*d, n_pad)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if n != n_pad:
+        t_max = jnp.concatenate([t_max, jnp.zeros((n_pad - n,), t_max.dtype)])
+    tmax_t = t_max.reshape(n_pad // LANES, LANES)
+    tri_list = [tris[k] for k in _TRI_KEYS]
+    occ = _any_call(o_t, d_t, tmax_t, tri_list, tri_list[0].shape[1])
+    return occ.reshape(-1)[:n]
+
+
 def intersect_any_pallas(tris: Dict, o, d, t_max):
     n = o.shape[0]
     n_pad = -(-n // RAY_TILE) * RAY_TILE

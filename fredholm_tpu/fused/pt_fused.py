@@ -31,6 +31,7 @@ this wavefront pipeline replaces).
 
 from __future__ import annotations
 
+import os as _os
 from typing import Dict, List, NamedTuple, Tuple
 
 import jax.numpy as jnp
@@ -671,28 +672,9 @@ def _resolve_pending(cfg: FusedConfig, sv, rad: V3, resolve: Dict,
         c = resolve["c_" + blk]
         rad = rad + where3(vis, c, z3)
 
-    la = resolve["lattr"]
-    lw1 = resolve["l_u"]
-    lw2 = resolve["l_v"]
-    lw0 = 1.0 - lw1 - lw2
-    l_p = _interp3(la, COL["v0"], lw0, lw1, lw2)
-    l_n = _interp3(la, COL["n0"], lw0, lw1, lw2)
     ldir = resolve["l_d"]
     l_hit = resolve["l_hit"]
-    l_emissive = (la[COL["has_emission"]] > 0.0) & (dot(-ldir, l_n) > 0.0)
-    hit_light = l_hit & l_emissive
-
-    le_hit = emission_from_attrs(cfg, la)
     le_miss = eval_sky_c(cfg, sv, ldir, ibl_env)
-    le = where3(l_hit, where3(hit_light, le_hit, z3), le_miss)
-
-    to_p = l_p - resolve["l_o"]
-    r2 = dot(to_p, to_p)
-    n_l = max(cfg.n_lights, 1)
-    pdf_area_hit = 1.0 / (n_l * jnp.maximum(la[COL["area"]], 1e-12))
-    pdf_light_hit = (
-        r2 / jnp.maximum(jnp.abs(dot(-ldir, l_n)), 1e-12) * pdf_area_hit
-    )
     if cfg.sky_mode == SKY_IBL and cfg.use_ibl_is:
         # MIS against the environment distribution (pt.py:843-844)
         from ..sky.ibl import ibl_pdf
@@ -702,7 +684,35 @@ def _resolve_pending(cfg: FusedConfig, sv, rad: V3, resolve: Dict,
         )
     else:
         pdf_light_miss = jnp.abs(resolve["wi_l_y"]) / jnp.pi
-    pdf_light = jnp.where(hit_light, pdf_light_hit, pdf_light_miss)
+    if not cfg.has_area:
+        # no emissive face exists, so a light-ray HIT contributes nothing
+        # and the MIS pdf is always the miss (sky) pdf — the light trace
+        # only needs the occlusion boolean (it rode the any-hit kernel)
+        le = where3(l_hit, z3, le_miss)
+        pdf_light = pdf_light_miss
+    else:
+        la = resolve["lattr"]
+        lw1 = resolve["l_u"]
+        lw2 = resolve["l_v"]
+        lw0 = 1.0 - lw1 - lw2
+        l_p = _interp3(la, COL["v0"], lw0, lw1, lw2)
+        l_n = _interp3(la, COL["n0"], lw0, lw1, lw2)
+        l_emissive = (
+            (la[COL["has_emission"]] > 0.0) & (dot(-ldir, l_n) > 0.0)
+        )
+        hit_light = l_hit & l_emissive
+
+        le_hit = emission_from_attrs(cfg, la)
+        le = where3(l_hit, where3(hit_light, le_hit, z3), le_miss)
+
+        to_p = l_p - resolve["l_o"]
+        r2 = dot(to_p, to_p)
+        n_l = max(cfg.n_lights, 1)
+        pdf_area_hit = 1.0 / (n_l * jnp.maximum(la[COL["area"]], 1e-12))
+        pdf_light_hit = (
+            r2 / jnp.maximum(jnp.abs(dot(-ldir, l_n)), 1e-12) * pdf_area_hit
+        )
+        pdf_light = jnp.where(hit_light, pdf_light_hit, pdf_light_miss)
     pdf_l = resolve["pdf_l"]
     # guard 0/0 (pt.py keeps mis_w inside a pdf_l>0 where-branch)
     mis_w = jnp.where(
@@ -1014,6 +1024,25 @@ def _trace_c(dev, o: V3, dd: V3, t):
     return pt_mod._trace_closest_raw(dev, to_stacked(o), to_stacked(dd), t)
 
 
+def _trace_any_c(dev, o: V3, dd: V3, t):
+    """Component-layout occlusion trace (optixTrace RAY_TYPE_SHADOW
+    analog, pt.cu:103-108 terminate-on-first-hit): returns occluded [N]
+    bool. The fused envelope excludes alpha scenes (fused_supported), so
+    this dispatches straight to the first-hit kernels — the clustered one
+    early-exits per tile once every alive lane is occluded."""
+    if _os.environ.get("FREDHOLM_FUSED_ABLATE", "") == "noocc":
+        # perf decomposition only (everything unoccluded; aliveness and
+        # wavefront structure identical to a real render)
+        return jnp.zeros_like(t, dtype=bool)
+    if dev["use_dense"] and dev.get("use_pallas", True):
+        from ..accel.pallas_dense import intersect_any_pallas_c
+
+        return intersect_any_pallas_c(
+            dev["tri_soa"], (o.x, o.y, o.z), (dd.x, dd.y, dd.z), t
+        )
+    return pt_mod.trace_any(dev, to_stacked(o), to_stacked(dd), t)
+
+
 def _concat_rays(ray_list):
     o = V3(
         jnp.concatenate([r[0].x for r in ray_list]),
@@ -1086,25 +1115,61 @@ def _xform_attrs_cols(dev, inst, attrs):
     attrs[COL["area"]] = 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
 
 
-def _make_resolve(cfg, dev, hit_all, blocks, n, prev_rays, prev_pending):
+def _split_occ(dev) -> bool:
+    """Whether occlusion-only ray blocks ride a separate any-hit dispatch.
+
+    For the clustered traversal (large scenes) the any-hit kernel's
+    early exits are a real win (+24% measured on the 1M-tri terrain);
+    for the dense kernel the sweep cost is linear in lanes either way,
+    so splitting one trace call into two only adds launch overhead on
+    the tunneled backend. FREDHOLM_FUSED_SPLITOCC=0/1 overrides for A/B
+    (default: split iff the scene uses the clustered path)."""
+    mode = _os.environ.get("FREDHOLM_FUSED_SPLITOCC", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return not dev["use_dense"]
+
+
+def _occ_blocks(cfg, split: bool):
+    """Ray blocks that only need an occlusion boolean and ride the any-hit
+    kernel when the split is on: all NEE shadow blocks, plus the BSDF-MIS
+    light block when the scene has no emissive faces (then only `l_hit`
+    feeds the MIS tail — see _resolve_pending)."""
+    if not split:
+        return []
+    return list(cfg.nee_blocks) + ([] if cfg.has_area else ["light"])
+
+
+def _make_resolve(cfg, dev, hit_all, cblocks, occ_all, oblocks, n,
+                  prev_rays, prev_pending):
+    """hit_all: closest-trace results over cblocks; occ_all: [len(oblocks)
+    * n] occlusion booleans from the any-hit trace over oblocks. Each
+    occlusion consumer sources its boolean from whichever trace carried
+    its block (any-hit when split, closest otherwise)."""
     def blk(arr, i):
         return arr[i * n:(i + 1) * n]
 
-    li = blocks.index("light")
+    def occ_of(b):
+        if b in oblocks:
+            return blk(occ_all, oblocks.index(b))
+        return blk(hit_all["hit"], cblocks.index(b))
+
     resolve = {
-        "l_hit": blk(hit_all["hit"], li),
-        "l_u": blk(hit_all["u"], li),
-        "l_v": blk(hit_all["v"], li),
-        "l_o": prev_rays["light"][0],
         "l_d": prev_rays["light"][1],
         "tpf": prev_pending["tpf"],
         "pdf_l": prev_pending["pdf_l"],
         "wi_l_y": prev_pending["wi_l_y"],
     }
-    for bi, b in enumerate(blocks):
-        if b in ("light", "rad"):
-            continue
-        resolve["occ_" + b] = blk(hit_all["hit"], bi)
+    if cfg.has_area:
+        li = cblocks.index("light")
+        resolve["l_hit"] = blk(hit_all["hit"], li)
+        resolve["l_u"] = blk(hit_all["u"], li)
+        resolve["l_v"] = blk(hit_all["v"], li)
+        resolve["l_o"] = prev_rays["light"][0]
+    else:
+        resolve["l_hit"] = occ_of("light")
+    for b in cfg.nee_blocks:
+        resolve["occ_" + b] = occ_of(b)
         resolve["c_" + b] = prev_pending["c_" + b]
     return resolve
 
@@ -1236,17 +1301,39 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
     prev_rays = None
     prev_pending = None
 
+    # occlusion-only blocks ride the any-hit kernel (first opaque hit
+    # terminates; the clustered kernel also early-exits all-occluded
+    # tiles) instead of paying a full closest-hit traversal — only the
+    # next-bounce ray (and, with emissive faces, the BSDF-MIS light ray,
+    # whose hit identity feeds the MIS pdf) needs closest-hit. Dense
+    # scenes keep everything in ONE closest dispatch (_split_occ).
+    split = _split_occ(dev)
+    oblocks = _occ_blocks(cfg, split)
+    cblocks = (
+        ([] if split else list(cfg.nee_blocks))
+        + (["light"] if cfg.has_area or not split else [])
+        + ["rad"]
+    )
+
     for d in range(cfg.max_depth):
         if d == 0:
-            blocks = ["rad"]
             ray_list = [(state["o"], state["d"], state.pop("tmax"))]
+            hit_all = _trace_c(dev, *_concat_rays(ray_list))
+            occ_all = None
+            dblocks = ["rad"]
         else:
-            blocks = list(cfg.nee_blocks) + ["light", "rad"]
-            ray_list = [prev_rays[b] for b in blocks]
-        o_all, d_all, t_all = _concat_rays(ray_list)
-        hit_all = _trace_c(dev, o_all, d_all, t_all)
+            occ_all = (
+                _trace_any_c(
+                    dev, *_concat_rays([prev_rays[b] for b in oblocks])
+                )
+                if oblocks else None
+            )
+            hit_all = _trace_c(
+                dev, *_concat_rays([prev_rays[b] for b in cblocks])
+            )
+            dblocks = cblocks
 
-        ri = blocks.index("rad")
+        ri = dblocks.index("rad")
 
         def blk(arr, i):
             return arr[i * n:(i + 1) * n]
@@ -1259,27 +1346,38 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
         }
 
         if d > 0:
-            li = blocks.index("light")
-            prim2 = jnp.concatenate(
-                [blk(hit_all["prim"], li), blk(hit_all["prim"], ri)]
-            )
-            inst2 = None
-            if "inst" in hit_all:
-                inst2 = jnp.concatenate(
-                    [blk(hit_all["inst"], li), blk(hit_all["inst"], ri)]
+            if cfg.has_area:
+                li = dblocks.index("light")
+                prim2 = jnp.concatenate(
+                    [blk(hit_all["prim"], li), blk(hit_all["prim"], ri)]
                 )
-            attrs2 = _gather_attrs(dev, prim2, inst=inst2)
-            fetch_texture_planes(
-                dev, cfg, attrs2,
-                jnp.concatenate([blk(hit_all["u"], li), rhit["u"]]),
-                jnp.concatenate([blk(hit_all["v"], li), rhit["v"]]),
-            )
-            lattr = {c: v[:n] for c, v in attrs2.items()}
-            rattr = {c: v[n:] for c, v in attrs2.items()}
+                inst2 = None
+                if "inst" in hit_all:
+                    inst2 = jnp.concatenate(
+                        [blk(hit_all["inst"], li), blk(hit_all["inst"], ri)]
+                    )
+                attrs2 = _gather_attrs(dev, prim2, inst=inst2)
+                fetch_texture_planes(
+                    dev, cfg, attrs2,
+                    jnp.concatenate([blk(hit_all["u"], li), rhit["u"]]),
+                    jnp.concatenate([blk(hit_all["v"], li), rhit["v"]]),
+                )
+                lattr = {c: v[:n] for c, v in attrs2.items()}
+                rattr = {c: v[n:] for c, v in attrs2.items()}
+            else:
+                lattr = None
+                rattr = _gather_attrs(
+                    dev, blk(hit_all["prim"], ri),
+                    inst=blk(hit_all["inst"], ri)
+                    if "inst" in hit_all else None,
+                )
+                fetch_texture_planes(dev, cfg, rattr, rhit["u"], rhit["v"])
             resolve = _make_resolve(
-                cfg, dev, hit_all, blocks, n, prev_rays, prev_pending
+                cfg, dev, hit_all, cblocks, occ_all, oblocks, n,
+                prev_rays, prev_pending,
             )
-            resolve["lattr"] = lattr
+            if lattr is not None:
+                resolve["lattr"] = lattr
         else:
             rattr = _gather_attrs(
                 dev, hit_all["prim"], inst=hit_all.get("inst")
@@ -1296,27 +1394,40 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
         prev_rays = rays
         prev_pending = pending
 
-    # final: trace the last bounce's pending NEE + light blocks
-    blocks = list(cfg.nee_blocks) + ["light"]
-    ray_list = [prev_rays[b] for b in blocks]
-    o_all, d_all, t_all = _concat_rays(ray_list)
-    hit_all = _trace_c(dev, o_all, d_all, t_all)
+    # final: trace the last bounce's pending NEE + light blocks (under the
+    # split, NEE blocks — and the light block without emissive faces —
+    # ride any-hit; otherwise everything shares one closest dispatch)
+    occ_all = (
+        _trace_any_c(dev, *_concat_rays([prev_rays[b] for b in oblocks]))
+        if oblocks else None
+    )
+    fblocks = (
+        ([] if split else list(cfg.nee_blocks))
+        + (["light"] if cfg.has_area or not split else [])
+    )
 
     def blk(arr, i):
         return arr[i * n:(i + 1) * n]
 
-    li = blocks.index("light")
+    hit_all = None
+    if fblocks:
+        hit_all = _trace_c(
+            dev, *_concat_rays([prev_rays[b] for b in fblocks])
+        )
     resolve = _make_resolve(
-        cfg, dev, hit_all, blocks, n, prev_rays, prev_pending
+        cfg, dev, hit_all, fblocks, occ_all, oblocks, n,
+        prev_rays, prev_pending,
     )
-    resolve["lattr"] = _gather_attrs(
-        dev, blk(hit_all["prim"], li),
-        inst=blk(hit_all["inst"], li) if "inst" in hit_all else None,
-    )
-    fetch_texture_planes(
-        dev, cfg, resolve["lattr"],
-        blk(hit_all["u"], li), blk(hit_all["v"], li),
-    )
+    if cfg.has_area:
+        li = fblocks.index("light")
+        resolve["lattr"] = _gather_attrs(
+            dev, blk(hit_all["prim"], li),
+            inst=blk(hit_all["inst"], li) if "inst" in hit_all else None,
+        )
+        fetch_texture_planes(
+            dev, cfg, resolve["lattr"],
+            blk(hit_all["u"], li), blk(hit_all["v"], li),
+        )
 
     rad = _final_tiled(cfg, sv, state, resolve, use_pk, ibl_env)
 
