@@ -15,17 +15,23 @@ final line as the headline):
    Miguel/Rungholt analog, controller.h:31-43), supercluster traversal.
 5. instanced-tiles 10.4M tris — San Miguel-scale shared-BLAS instancing.
 
-Default order runs the secondary metrics first and the primary cornell
-metric last, under a global time budget (FREDHOLM_BENCH_BUDGET seconds,
-default 420): metrics that would overrun are skipped (a stderr note is
-printed) so the process always finishes with rc=0 — round 3's driver run
-was killed at the timeout (rc=124) mid-metric. Each metric is also
-failure-isolated: an axon-tunnel outage on one scene does not abort the
-rest.
+The default invocation is an ORCHESTRATOR: each metric runs in its own
+subprocess (`--only N`) under a HARD per-metric timeout, inside a global
+budget (FREDHOLM_BENCH_BUDGET seconds, default 420). The primary cornell
+metric is measured FIRST (while the budget is fresh and the tunnel is
+known-alive) but its JSON line is buffered and printed LAST, so the
+driver's last-line parse always records the headline even if a later
+metric hangs in an XLA compile — round 3's in-process run was killed at
+the driver timeout (rc=124) mid-metric and the terrain line got recorded
+as the headline. A hung compile cannot be interrupted in-process (the
+hang is inside a C++ call, signals don't land), hence subprocesses.
+Failure isolation: a tunnel outage on one scene does not abort the rest;
+the primary is retried once.
 
 `--smoke` runs a tiny config; `--sharded` runs the pixel-sharded
 shard_map path on a real-device mesh (proves collectives compile on the
-TPU backend, VERDICT.md round-1 item 4); `--only N` runs one metric.
+TPU backend, VERDICT.md round-1 item 4); `--only N` runs one metric
+in-process. FREDHOLM_BENCH_INPROC=1 restores the single-process run.
 """
 
 import argparse
@@ -249,6 +255,112 @@ def _bench_tiles(width, height, spp, max_depth):
     return _timed_render(r, spp, max_depth)
 
 
+def _metric_table(args):
+    """(n, est_s, name, runner) for every metric. est_s = warm-cache wall
+    estimate used for budget planning; hard subprocess timeouts are looser."""
+    d = args.max_depth
+    return [
+        (1, 60,
+         f"cornell-box 512x512 @{args.spp}spp depth{d} "
+         f"single-chip path tracing",
+         lambda: _bench_cornell(512, 512, args.spp, d, out=args.out)),
+        (2, 60,
+         f"hosek-sweep ~100k-tris 512x288 @8spp depth{d} "
+         f"single-chip path tracing",
+         lambda: _bench_sweep(512, 288, 8, d)),
+        (3, 75,
+         f"cornell-box 1920x1080 @{args.spp}spp depth{d} "
+         f"single-chip path tracing (contest operating point)",
+         lambda: _bench_cornell(1920, 1080, args.spp, d)),
+        (4, 90,
+         f"terrain ~1.05M-tris 512x288 @4spp depth{d} "
+         f"single-chip path tracing (supercluster traversal)",
+         lambda: _bench_terrain(512, 288, 4, d)),
+        (5, 120,
+         f"instanced-tiles 10.4M-tris 512x288 @2spp depth{d} "
+         f"single-chip path tracing (shared-BLAS TLAS)",
+         lambda: _bench_tiles(512, 288, 2, d)),
+    ]
+
+
+def _run_subprocess(n, timeout_s, extra=()):
+    """Run `bench.py --only n` in a child; return its last JSON line or
+    None. A hung XLA compile dies with the child — the orchestrator's
+    clock keeps running regardless."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--only", str(n),
+           *extra]
+    try:
+        p = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench: metric {n} subprocess timed out after "
+              f"{timeout_s:.0f}s (killed)", file=sys.stderr, flush=True)
+        return None
+    for ln in (p.stderr or "").splitlines():
+        if ln.strip():
+            print(f"bench[{n}]: {ln}", file=sys.stderr, flush=True)
+    line = None
+    for ln in (p.stdout or "").splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            line = ln
+    return line
+
+
+def _orchestrate(args) -> None:
+    """Subprocess-per-metric with hard timeouts. Primary MEASURED first,
+    PRINTED last (the driver parses the final stdout line as headline)."""
+    budget = float(os.environ.get("FREDHOLM_BENCH_BUDGET", "420"))
+    t_start = time.time()
+
+    def _left():
+        return budget - (time.time() - t_start)
+
+    metrics = {n: (est, name) for n, est, name, _ in _metric_table(args)}
+    fwd = ["--spp", str(args.spp), "--max-depth", str(args.max_depth)]
+
+    # 1. primary first: generous timeout (cold compile can take minutes),
+    #    one retry on failure/outage; line is buffered, not printed yet
+    primary = _run_subprocess(1, min(max(150.0, _left() * 0.5), _left()),
+                              extra=fwd + (["--out", args.out]
+                                           if args.out else []))
+    if primary is None and _left() > 90:
+        print("bench: primary retry", file=sys.stderr, flush=True)
+        primary = _run_subprocess(1, _left() * 0.6, extra=fwd)
+
+    # 2. secondaries, cheap/valuable first; each needs est + slack, and
+    #    always leave 20s so the final print cannot be cut off
+    for n in (2, 3, 4, 5):
+        est, name = metrics[n]
+        if _left() - 20 < est:
+            print(f"bench: skipping metric {n} ({name}): "
+                  f"{_left():.0f}s left < est {est}s",
+                  file=sys.stderr, flush=True)
+            continue
+        line = _run_subprocess(n, min(est * 2.5, _left() - 20), extra=fwd)
+        if line:
+            print(line, flush=True)
+
+    # 3. headline last. If the primary never produced a line (tunnel hard
+    #    down), fall back to a smoke run so the driver still records a
+    #    real measurement rather than a stale secondary line.
+    if primary is None and _left() > 30:
+        primary = _run_subprocess(1, _left() - 5,
+                                  extra=["--smoke"] + (["--out", args.out]
+                                                       if args.out else []))
+    if primary:
+        print(primary, flush=True)
+    else:
+        print(json.dumps({
+            "metric": "cornell-box 512x512 single-chip path tracing "
+                      "(FAILED: TPU tunnel unavailable for entire budget)",
+            "value": 0.0, "unit": "Mpath-vertices/s", "vs_baseline": 0.0,
+        }), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=16)
@@ -257,11 +369,16 @@ def main() -> None:
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument(
         "--only", type=int, default=0,
-        help="run just metric N (1=cornell, 2=sweep, 3=1080p, 4=terrain, "
-             "5=10M-tri instanced tiles)",
+        help="run just metric N in-process (1=cornell, 2=sweep, 3=1080p, "
+             "4=terrain, 5=10M-tri instanced tiles)",
     )
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
+
+    if (args.only == 0 and not args.smoke and not args.sharded
+            and os.environ.get("FREDHOLM_BENCH_INPROC", "0") != "1"):
+        _orchestrate(args)
+        return
 
     import jax
 
@@ -284,52 +401,25 @@ def main() -> None:
         )
         return
 
+    # --only N / FREDHOLM_BENCH_INPROC=1: run in this process
+    table = {t[0]: t for t in _metric_table(args)}
+    order = [args.only] if args.only else [2, 3, 4, 5, 1]  # primary last
     budget = float(os.environ.get("FREDHOLM_BENCH_BUDGET", "420"))
     t_start = time.time()
-
-    def _left():
-        return budget - (time.time() - t_start)
-
-    def _run(n, est_s, fn, name, *fnargs):
-        """Run metric n if selected and affordable; never raise."""
-        if args.only not in (0, n):
-            return
-        # non-primary metrics keep a 60s reserve so the primary always
-        # runs; the primary itself is NEVER budget-skipped (the driver
-        # parses the last JSON line as the headline)
-        if args.only == 0 and n != 1 and _left() - 60 < est_s:
-            print(
-                f"bench: skipping metric {n} ({name}): "
-                f"{_left():.0f}s left < est {est_s}s",
-                file=sys.stderr, flush=True,
-            )
-            return
+    for n in order:
+        _, est, name, fn = table[n]
+        if args.only == 0 and n != 1 and (
+                budget - (time.time() - t_start)) - 60 < est:
+            print(f"bench: skipping metric {n} ({name})",
+                  file=sys.stderr, flush=True)
+            continue
         try:
-            _emit(name, fn(*fnargs))
+            _emit(name, fn())
         except Exception as e:  # tunnel outage on one scene: keep going
             print(f"bench: metric {n} ({name}) FAILED: {e!r}",
                   file=sys.stderr, flush=True)
-
-    d = args.max_depth
-    # secondary metrics first; the PRIMARY cornell metric runs last so the
-    # driver's last-line parse records it as the headline
-    _run(2, 60, _bench_sweep,
-         f"hosek-sweep ~100k-tris 512x288 @8spp depth{d} "
-         f"single-chip path tracing", 512, 288, 8, d)
-    _run(4, 90, _bench_terrain,
-         f"terrain ~1.05M-tris 512x288 @4spp depth{d} "
-         f"single-chip path tracing (supercluster traversal)",
-         512, 288, 4, d)
-    _run(5, 120, _bench_tiles,
-         f"instanced-tiles 10.4M-tris 512x288 @2spp depth{d} "
-         f"single-chip path tracing (shared-BLAS TLAS)", 512, 288, 2, d)
-    _run(3, 60, _bench_cornell,
-         f"cornell-box 1920x1080 @{args.spp}spp depth{d} "
-         f"single-chip path tracing (contest operating point)",
-         1920, 1080, args.spp, d)
-    _run(1, 45, lambda *a: _bench_cornell(*a, out=args.out),
-         f"cornell-box 512x512 @{args.spp}spp depth{d} "
-         f"single-chip path tracing", 512, 512, args.spp, d)
+            if args.only:  # orchestrator uses the exit code
+                sys.exit(3)
 
 
 if __name__ == "__main__":
