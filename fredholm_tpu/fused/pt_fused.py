@@ -1014,7 +1014,22 @@ def final_resolve_body(cfg: FusedConfig, sv, state: Dict, resolve: Dict,
 
 def _trace_c(dev, o: V3, dd: V3, t):
     """Component-layout trace: feeds the Pallas dense kernel without an
-    [N,3] interleave; falls back to the stacked dispatcher otherwise."""
+    [N,3] interleave; falls back to the stacked dispatcher otherwise.
+
+    With compaction enabled (fused/compact.py), alive lanes are packed to
+    the front first so dead lanes collapse into fully-dead tail tiles the
+    traversal kernels skip; results return in original order (bit-exact —
+    per-lane hits don't depend on tile membership)."""
+    from . import compact as _cp
+
+    if _cp.enabled(dev):
+        dest = _cp.partition_dest(t > 0.0)
+        o, dd, t = _cp.compact_rays(dest, o, dd, t)
+        return _cp.uncompact_hits(dest, _trace_c_raw(dev, o, dd, t))
+    return _trace_c_raw(dev, o, dd, t)
+
+
+def _trace_c_raw(dev, o: V3, dd: V3, t):
     if dev["use_dense"] and dev.get("use_pallas", True):
         from ..accel.pallas_dense import intersect_closest_pallas_c
 
@@ -1034,6 +1049,16 @@ def _trace_any_c(dev, o: V3, dd: V3, t):
         # perf decomposition only (everything unoccluded; aliveness and
         # wavefront structure identical to a real render)
         return jnp.zeros_like(t, dtype=bool)
+    from . import compact as _cp
+
+    if _cp.enabled(dev):
+        dest = _cp.partition_dest(t > 0.0)
+        o, dd, t = _cp.compact_rays(dest, o, dd, t)
+        return _cp.uncompact_occ(dest, _trace_any_c_raw(dev, o, dd, t))
+    return _trace_any_c_raw(dev, o, dd, t)
+
+
+def _trace_any_c_raw(dev, o: V3, dd: V3, t):
     if dev["use_dense"] and dev.get("use_pallas", True):
         from ..accel.pallas_dense import intersect_any_pallas_c
 

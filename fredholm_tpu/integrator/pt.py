@@ -89,6 +89,8 @@ STATIC_DEV_KEYS = (
     "inst_identity",
     # texture kinds the fused pipeline fetches in-pipeline (pt_fused.py)
     "tex_kinds",
+    # wavefront compaction mode around fused trace calls (fused/compact.py)
+    "compact",
 )
 
 

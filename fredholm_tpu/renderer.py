@@ -52,6 +52,9 @@ class StaticConfig:
     sampler_mode: str = "sobol_cmj"
     inst_identity: bool = True
     tex_kinds: tuple = ()
+    # wavefront compaction around fused trace calls (fused/compact.py):
+    # "0" off, "1" on, "auto" = clustered scenes only
+    compact: str = "0"
 
 
 def static_dev_from_config(config: StaticConfig) -> Dict:
@@ -524,6 +527,7 @@ class Renderer:
                 and (self.width * self.height) % 128 == 0
             ),
             sampler_mode=self.sampler_mode,
+            compact=os.environ.get("FREDHOLM_COMPACT", "0"),
         )
 
     def sharding_inputs(self, max_depth: int, use_pallas: Optional[bool] = None):
