@@ -123,7 +123,15 @@ def prepare_clustered(tlas: TLAS) -> Dict:
     cl_meta = jnp.asarray(tlas.cl_meta)
     if _STREAM != "0":
         cl_meta = jnp.pad(cl_meta, ((0, 0), (0, NSC * SC_GROUP)))
+    extra = {}
+    if tlas.inst_aabb.shape[1] == 1:
+        # single-instance scenes additionally carry the dense-by-cid meta
+        # for the ray-resident incoherent-dispatch kernel (~64 B/cluster)
+        from .pallas_resident import prepare_resident
+
+        extra = prepare_resident(tlas)
     return {
+        **extra,
         "reg_aabb": jnp.asarray(tlas.reg_aabb),        # [6, 6*R] SMEM
         "sc_aabb": jnp.asarray(tlas.sc_aabb),          # [6, S] SMEM
         "sc_mcount": jnp.asarray(tlas.sc_mcount),      # [S] SMEM

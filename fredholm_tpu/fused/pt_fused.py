@@ -1012,7 +1012,7 @@ def final_resolve_body(cfg: FusedConfig, sv, state: Dict, resolve: Dict,
 # pure-jnp orchestrator (oracle + CPU fallback)
 
 
-def _trace_c(dev, o: V3, dd: V3, t):
+def _trace_c(dev, o: V3, dd: V3, t, coherent=False):
     """Component-layout trace: feeds the Pallas dense kernel without an
     [N,3] interleave; falls back to the stacked dispatcher otherwise.
 
@@ -1025,21 +1025,23 @@ def _trace_c(dev, o: V3, dd: V3, t):
     if _cp.enabled(dev):
         dest = _cp.partition_dest(t > 0.0)
         o, dd, t = _cp.compact_rays(dest, o, dd, t)
-        return _cp.uncompact_hits(dest, _trace_c_raw(dev, o, dd, t))
-    return _trace_c_raw(dev, o, dd, t)
+        return _cp.uncompact_hits(dest, _trace_c_raw(dev, o, dd, t,
+                                                     coherent))
+    return _trace_c_raw(dev, o, dd, t, coherent)
 
 
-def _trace_c_raw(dev, o: V3, dd: V3, t):
+def _trace_c_raw(dev, o: V3, dd: V3, t, coherent=False):
     if dev["use_dense"] and dev.get("use_pallas", True):
         from ..accel.pallas_dense import intersect_closest_pallas_c
 
         return intersect_closest_pallas_c(
             dev["tri_soa"], (o.x, o.y, o.z), (dd.x, dd.y, dd.z), t
         )
-    return pt_mod._trace_closest_raw(dev, to_stacked(o), to_stacked(dd), t)
+    return pt_mod._trace_closest_raw(dev, to_stacked(o), to_stacked(dd), t,
+                                     coherent=coherent)
 
 
-def _trace_any_c(dev, o: V3, dd: V3, t):
+def _trace_any_c(dev, o: V3, dd: V3, t, coherent=False):
     """Component-layout occlusion trace (optixTrace RAY_TYPE_SHADOW
     analog, pt.cu:103-108 terminate-on-first-hit): returns occluded [N]
     bool. The fused envelope excludes alpha scenes (fused_supported), so
@@ -1054,18 +1056,20 @@ def _trace_any_c(dev, o: V3, dd: V3, t):
     if _cp.enabled(dev):
         dest = _cp.partition_dest(t > 0.0)
         o, dd, t = _cp.compact_rays(dest, o, dd, t)
-        return _cp.uncompact_occ(dest, _trace_any_c_raw(dev, o, dd, t))
-    return _trace_any_c_raw(dev, o, dd, t)
+        return _cp.uncompact_occ(dest, _trace_any_c_raw(dev, o, dd, t,
+                                                        coherent))
+    return _trace_any_c_raw(dev, o, dd, t, coherent)
 
 
-def _trace_any_c_raw(dev, o: V3, dd: V3, t):
+def _trace_any_c_raw(dev, o: V3, dd: V3, t, coherent=False):
     if dev["use_dense"] and dev.get("use_pallas", True):
         from ..accel.pallas_dense import intersect_any_pallas_c
 
         return intersect_any_pallas_c(
             dev["tri_soa"], (o.x, o.y, o.z), (dd.x, dd.y, dd.z), t
         )
-    return pt_mod.trace_any(dev, to_stacked(o), to_stacked(dd), t)
+    return pt_mod.trace_any(dev, to_stacked(o), to_stacked(dd), t,
+                            coherent=coherent)
 
 
 def _concat_rays(ray_list):
@@ -1343,7 +1347,7 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
     for d in range(cfg.max_depth):
         if d == 0:
             ray_list = [(state["o"], state["d"], state.pop("tmax"))]
-            hit_all = _trace_c(dev, *_concat_rays(ray_list))
+            hit_all = _trace_c(dev, *_concat_rays(ray_list), coherent=True)
             occ_all = None
             dblocks = ["rad"]
         else:

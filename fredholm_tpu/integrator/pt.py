@@ -16,6 +16,7 @@ dimension ordering, so images converge to the same result:
 
 from __future__ import annotations
 
+import os as _os
 from typing import Dict
 
 import jax
@@ -94,12 +95,35 @@ STATIC_DEV_KEYS = (
 )
 
 
-def _trace_closest_raw(dev, o, d, t_max):
+def _use_resident(dev, coherent: bool) -> bool:
+    """Route INCOHERENT clustered dispatches (bounce/NEE rays, d > 0)
+    through the ray-resident geometry-streamed kernel: an incoherent
+    [16,128] tile visits ~2/3 of all superclusters, so the per-tile
+    ordered kernel re-DMAs most of the scene's meta+blocks once per tile
+    (~43% of bounce trace time, PERF.md round 4). Coherent dispatches
+    (primaries, camera-tile shadow rays) keep the ordered kernel, whose
+    front-to-back early exit wins when the tile gates are selective."""
+    return (
+        not coherent
+        and _RESIDENT == "1"
+        and dev.get("inst_identity", True)
+        and "res_meta" in dev["clusters"]
+    )
+
+
+_RESIDENT = _os.environ.get("FREDHOLM_TRAV_RESIDENT", "0")
+
+
+def _trace_closest_raw(dev, o, d, t_max, coherent=True):
     if dev["use_dense"]:
         if dev.get("use_pallas", True):
             return intersect_closest_pallas(dev["tri_soa"], o, d, t_max)
         return intersect_closest_dense(dev["bvh"], o, d, t_max)
     if dev.get("use_clustered", False):
+        if _use_resident(dev, coherent):
+            from ..accel.pallas_resident import intersect_closest_resident
+
+            return intersect_closest_resident(dev["clusters"], o, d, t_max)
         return intersect_closest_clustered(
             dev["clusters"], o, d, t_max,
             identity=dev.get("inst_identity", True),
@@ -129,13 +153,13 @@ def _hit_alpha(dev, prim, bu, bv):
 _ALPHA_MAX_RETRACE = 8
 
 
-def trace_closest(dev, o, d, t_max):
+def trace_closest(dev, o, d, t_max, coherent=True):
     """optixTrace RAY_TYPE_RADIANCE/LIGHT analog: statically picks the
     Pallas fused dense kernel for small scenes (regular streaming, zero
     HBM intermediates) or the threaded-BVH traversal for large ones.
     Scenes with alpha-cutout materials re-trace through transparent hits
     (the wavefront form of optixIgnoreIntersection, pt.cu:575)."""
-    hit = _trace_closest_raw(dev, o, d, t_max)
+    hit = _trace_closest_raw(dev, o, d, t_max, coherent=coherent)
     if not dev.get("has_alpha", False):
         return hit
 
@@ -147,7 +171,8 @@ def trace_closest(dev, o, d, t_max):
         new_origin = origin + (hit["t"] + 1e-4)[..., None] * d
         new_t_base = t_base + hit["t"] + 1e-4
         nxt = _trace_closest_raw(
-            dev, new_origin, d, jnp.where(cut, t_max - new_t_base, -1.0)
+            dev, new_origin, d, jnp.where(cut, t_max - new_t_base, -1.0),
+            coherent=coherent,
         )
         merged = {
             "t": jnp.where(cut, nxt["t"], hit["t"]),
@@ -176,7 +201,7 @@ def trace_closest(dev, o, d, t_max):
     return hit
 
 
-def trace_any(dev, o, d, t_max):
+def trace_any(dev, o, d, t_max, coherent=True):
     """optixTrace RAY_TYPE_SHADOW analog (terminate on first hit)."""
     if not dev.get("has_alpha", False):
         if dev["use_dense"]:
@@ -184,6 +209,10 @@ def trace_any(dev, o, d, t_max):
                 return intersect_any_pallas(dev["tri_soa"], o, d, t_max)
             return intersect_any_dense(dev["bvh"], o, d, t_max)
         if dev.get("use_clustered", False):
+            if _use_resident(dev, coherent):
+                from ..accel.pallas_resident import intersect_any_resident
+
+                return intersect_any_resident(dev["clusters"], o, d, t_max)
             return intersect_any_clustered(
                 dev["clusters"], o, d, t_max,
                 identity=dev.get("inst_identity", True),
@@ -191,7 +220,7 @@ def trace_any(dev, o, d, t_max):
         return intersect_any(dev["bvh"], o, d, t_max)
     # alpha scenes: a shadow ray is occluded by the first OPAQUE hit, so
     # reuse the alpha-aware closest trace
-    hit = trace_closest(dev, o, d, t_max)
+    hit = trace_closest(dev, o, d, t_max, coherent=coherent)
     return hit["hit"]
 
 
