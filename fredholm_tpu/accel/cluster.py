@@ -534,6 +534,12 @@ def update_tlas_instances(
     new["inst_aabb"] = jnp.asarray(inst_aabb)
     new["inst_minv"] = jnp.asarray(inst_minv)
     new["inst_sc"] = jnp.asarray(inst_sc)
+    # the kernels clamp best_t to the root-box exit distance — it must
+    # track the moved instances or hits beyond the stale box are dropped
+    root = np.zeros((6, 8), np.float32)
+    root[0:3, 0] = inst_aabb[0:3].min(axis=1)
+    root[3:6, 0] = inst_aabb[3:6].max(axis=1)
+    new["root_aabb"] = jnp.asarray(root)
     return new
 
 

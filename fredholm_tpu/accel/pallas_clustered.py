@@ -130,8 +130,16 @@ def prepare_clustered(tlas: TLAS) -> Dict:
         from .pallas_resident import prepare_resident
 
         extra = prepare_resident(tlas)
+    # world-space union of all instance AABBs: no geometry exists beyond
+    # it, so each lane's initial best_t clamps to its root-box EXIT
+    # distance — miss rays (sky) and unoccluded shadow rays then tighten
+    # every slab gate instead of sweeping against t=1e9 (round-4 lever)
+    root = np.zeros((6, 8), np.float32)
+    root[0:3, 0] = np.asarray(tlas.inst_aabb[0:3]).min(axis=1)
+    root[3:6, 0] = np.asarray(tlas.inst_aabb[3:6]).max(axis=1)
     return {
         **extra,
+        "root_aabb": jnp.asarray(root),                # [6, 8] SMEM
         "reg_aabb": jnp.asarray(tlas.reg_aabb),        # [6, 6*R] SMEM
         "sc_aabb": jnp.asarray(tlas.sc_aabb),          # [6, S] SMEM
         "sc_mcount": jnp.asarray(tlas.sc_mcount),      # [S] SMEM
@@ -218,7 +226,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                  stats: bool = False):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                inst_aabb, inst_minv, inst_sc, sc_aabb, sc_mcount,
-               sc_order, sc_key, reg_aabb,
+               sc_order, sc_key, reg_aabb, root_aabb,
                cl_meta_hbm, blocks_hbm,
                t_out, prim_out, u_out, v_out, inst_out,
                *rest):
@@ -256,6 +264,34 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
             wdy = dy_ref[:]
             wdz = dz_ref[:]
             winv = _inv_dir(wdx, wdy, wdz)
+
+            # clamp best_t to the root-box exit distance: geometry cannot
+            # lie beyond the union of instance AABBs, so miss/unoccluded
+            # lanes (t stays at tmax forever otherwise) tighten every
+            # slab gate below. Exact — any real hit satisfies
+            # t <= root exit along the ray. Lanes that miss the root box
+            # entirely get best_t = 0 (origin is then outside every child
+            # box, so every gate's tn > 0 fails). Output t for misses is
+            # restored to tmax by the wrapper (prim < 0).
+            t1x = (root_aabb[0, 0] - wox) * winv[0]
+            t2x = (root_aabb[3, 0] - wox) * winv[0]
+            t1y = (root_aabb[1, 0] - woy) * winv[1]
+            t2y = (root_aabb[4, 0] - woy) * winv[1]
+            t1z = (root_aabb[2, 0] - woz) * winv[2]
+            t2z = (root_aabb[5, 0] - woz) * winv[2]
+            rtn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            rtf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            hit_root = (rtn <= rtf) & (rtf >= 0.0)
+            clamp = jnp.where(hit_root, rtf * 1.0001 + 1e-4, 0.0)
+            best_t[:] = jnp.where(
+                alive, jnp.minimum(best_t[:], clamp), best_t[:]
+            )
 
             def _sweep_instances(alive):
                 def inst_body(i, _):
@@ -790,6 +826,7 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_order [6, S]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sc_key [6, S]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # reg_aabb [6, 6*R]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # root_aabb [6, 8]
             pl.BlockSpec(memory_space=_HBM_SPACE),  # cl_meta [8, S*128]
             pl.BlockSpec(memory_space=_HBM_SPACE),  # blocks [16, K*256]
         ],
@@ -821,6 +858,7 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
         dev_c["sc_order"],
         dev_c["sc_key"],
         dev_c["reg_aabb"],
+        dev_c["root_aabb"],
         dev_c["cl_meta"],
         dev_c["blocks"],
     )
