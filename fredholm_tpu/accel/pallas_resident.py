@@ -87,11 +87,11 @@ def prepare_resident(tlas) -> Dict:
 
 def _make_kernel(n_chunks: int, n_sub: int, r_sub: int, any_hit: bool):
     def kernel(ox_h, oy_h, oz_h, dx_h, dy_h, dz_h, tm_h,
-               meta_h, blocks_h,
+               root, meta_h, blocks_h,
                t_out, prim_out, u_out, v_out,
                rox, roy, roz, rdx, rdy, rdz, rtm, rix, riy, riz,
                bt, bp, bu, bv,
-               meta, smem, sem_r, sem_m, sem_b):
+               meta, smem, flags, sem_r, sem_m, sem_b):
         i = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -108,7 +108,24 @@ def _make_kernel(n_chunks: int, n_sub: int, r_sub: int, any_hit: bool):
             rix[:] = ix
             riy[:] = iy
             riz[:] = iz
-            bt[:] = rtm[:]
+            # root-box exit clamp (pallas_clustered.py kernel, same rule)
+            t1x = (root[0, 0] - rox[:]) * ix
+            t2x = (root[3, 0] - rox[:]) * ix
+            t1y = (root[1, 0] - roy[:]) * iy
+            t2y = (root[4, 0] - roy[:]) * iy
+            t1z = (root[2, 0] - roz[:]) * iz
+            t2z = (root[5, 0] - roz[:]) * iz
+            rtn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            rtf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            clamp = jnp.where((rtn <= rtf) & (rtf >= 0.0),
+                              rtf * 1.0001 + 1e-4, 0.0)
+            bt[:] = jnp.minimum(rtm[:], clamp)
             bp[:] = jnp.full(bt.shape, -1.0, jnp.float32)
             bu[:] = jnp.zeros(bt.shape, jnp.float32)
             bv[:] = jnp.zeros(bt.shape, jnp.float32)
@@ -121,7 +138,10 @@ def _make_kernel(n_chunks: int, n_sub: int, r_sub: int, any_hit: bool):
         def page_body(p, _):
             col0 = p * P_CL
 
-            def sub_gate(st, bits):
+            # per-sub-tile page-interest flags in SMEM (NOT packed into an
+            # int32 — n_sub is up to 72 and shifts >= 32 silently wrap on
+            # hardware; caught by the real-chip probe, round 4)
+            def sub_gate(st, n_hit):
                 r = pl.ds(st * SUB, SUB)
                 tb = bt[r, :]
                 alive = rtm[r, :] > 0.0
@@ -133,11 +153,13 @@ def _make_kernel(n_chunks: int, n_sub: int, r_sub: int, any_hit: bool):
                 )
                 if any_hit:
                     phit = phit & (bp[r, :] < 0.0)
-                return bits | (jnp.any(phit).astype(jnp.int32) << st)
+                f = jnp.any(phit).astype(jnp.int32)
+                flags[0, st] = f
+                return n_hit + f
 
-            bits = jax.lax.fori_loop(0, n_sub, sub_gate, jnp.int32(0))
+            n_hit = jax.lax.fori_loop(0, n_sub, sub_gate, jnp.int32(0))
 
-            @pl.when(bits != 0)
+            @pl.when(n_hit > 0)
             def _page():
                 cid0 = j * CHUNK + col0
                 dma_b = pltpu.make_async_copy(
@@ -149,7 +171,7 @@ def _make_kernel(n_chunks: int, n_sub: int, r_sub: int, any_hit: bool):
                 dma_b.wait()
 
                 def sub_sweep(st, _):
-                    @pl.when(((bits >> st) & 1) == 1)
+                    @pl.when(flags[0, st] == 1)
                     def _st():
                         r = pl.ds(st * SUB, SUB)
                         ox = rox[r, :]
@@ -256,7 +278,9 @@ def _call(tiles, dev_c, any_hit: bool):
     res = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks),
-        in_specs=[hbm] * 9,
+        in_specs=[hbm] * 7
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]  # root_aabb [6, 8]
+        + [hbm] * 2,
         out_specs=[hbm] * 4,
         out_shape=out_shapes,
         interpret=jax.default_backend() == "cpu",
@@ -266,12 +290,13 @@ def _call(tiles, dev_c, any_hit: bool):
                 pltpu.SMEM((16, CHUNK), jnp.float32),
                 pltpu.SMEM((TRI_COMPONENTS, P_CL * CLUSTER_SIZE),
                            jnp.float32),
+                pltpu.SMEM((1, r_sub // SUB), jnp.int32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ]
         ),
-    )(*tiles, meta, dev_c["blocks"])
+    )(*tiles, dev_c["root_aabb"], meta, dev_c["blocks"])
     return res
 
 
