@@ -129,3 +129,30 @@ class TestResidentRouting:
             )
         monkeypatch.setattr(pt, "_RESIDENT", "0")
         assert not pt._use_resident(dev, coherent=False)
+
+
+class TestRootClamp:
+    def test_moved_instance_beyond_original_root_box(self, sphere_dev):
+        """update_tlas_instances must refresh root_aabb: hits on geometry
+        moved far outside the original union box would otherwise be
+        clamped away (best_t <= stale root exit)."""
+        from fredholm_tpu.accel.cluster import (
+            build_tlas, update_tlas_instances,
+        )
+        from test_bvh import _sphere_blas
+
+        h, *_ = _sphere_blas()
+        tlas = build_tlas([h], [(0, np.eye(4))])
+        dev_c = pc.prepare_clustered(tlas)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [50.0, 0.0, 0.0]  # far outside the original box
+        dev_m = update_tlas_instances(dev_c, [h], [(0, m)])
+        o = np.tile(np.array([[44.0, 0.0, 0.0]], np.float32), (256, 1))
+        d = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (256, 1))
+        got = pc.intersect_closest_clustered(
+            dev_m, jnp.asarray(o), jnp.asarray(d), 1e9, identity=False
+        )
+        assert bool(np.asarray(got["hit"]).all())
+        np.testing.assert_allclose(
+            np.asarray(got["t"]), 5.0, atol=1e-3
+        )
