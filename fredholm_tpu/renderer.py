@@ -259,6 +259,12 @@ class Renderer:
             self.band_height = self._auto_band_h(width, height)
         else:
             self.band_height = int(bh)
+        # spp per jit dispatch (statically unrolled inside the step, same
+        # mechanism as parallel/sharding's spp_chunk — NOT lax.scan, which
+        # crashes the axon backend around the traversal while_loop).
+        # Sample streams are unchanged: render_progressive keys every
+        # sample off the per-pixel sample_count either way.
+        self.spp_chunk = int(os.environ.get("FREDHOLM_SPP_CHUNK", "1"))
 
 
         self.init_render_states()
@@ -577,19 +583,25 @@ class Renderer:
             )
             return self.layers
         band_h = self.band_height
-        if band_h and 0 < band_h < self.height and self.height % band_h == 0:
-            n_bands = self.height // band_h
-            for _ in range(n_samples):
-                for b in range(n_bands):
+        use_bands = (
+            band_h and 0 < band_h < self.height and self.height % band_h == 0
+        )
+        chunk = max(1, min(self.spp_chunk, n_samples))
+        done = 0
+        while done < n_samples:
+            ns = min(chunk, n_samples - done)
+            cfg = config if ns == 1 else self._config(ns, max_depth)
+            if use_bands:
+                for b in range(self.height // band_h):
                     self.layers, self.sample_count = _render_band_jit(
                         arrays, dynamic, self.layers, self.sample_count,
-                        jnp.uint32(b * band_h), config, band_h,
+                        jnp.uint32(b * band_h), cfg, band_h,
                     )
-            return self.layers
-        for _ in range(n_samples):
-            self.layers, self.sample_count = _render_jit(
-                arrays, dynamic, self.layers, self.sample_count, config
-            )
+            else:
+                self.layers, self.sample_count = _render_jit(
+                    arrays, dynamic, self.layers, self.sample_count, cfg
+                )
+            done += ns
         return self.layers
 
     def wait_for_completion(self):

@@ -251,3 +251,35 @@ class TestBandedRender:
         assert float(ra.layers["n_path_vertices"]) == pytest.approx(
             float(rb.layers["n_path_vertices"])
         )
+
+    def test_spp_chunked_equals_sequential(self):
+        """spp chunking (FREDHOLM_SPP_CHUNK / Renderer.spp_chunk) batches
+        several progressive samples into one jit dispatch (statically
+        unrolled, like parallel/sharding's spp_chunk). Every sample is
+        keyed off the per-pixel sample_count either way, so a chunked
+        render — including an uneven tail — must equal the sequential
+        one exactly."""
+        from fredholm_tpu.renderer import Renderer
+        from fredholm_tpu.scene.procedural import cornell_box
+
+        def mk():
+            r = Renderer(width=32, height=32)
+            r.set_scene(cornell_box())
+            r.camera.origin = np.asarray([0.0, 1.0, 0.6], np.float32)
+            r.camera._update_transform()
+            return r
+
+        ra = mk()
+        ra.render(n_samples=3, max_depth=3)
+        rb = mk()
+        rb.spp_chunk = 2  # 3 spp -> one 2-chunk + one 1-tail
+        rb.render(n_samples=3, max_depth=3)
+        np.testing.assert_array_equal(
+            np.asarray(ra.layers["beauty"]), np.asarray(rb.layers["beauty"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ra.sample_count), np.asarray(rb.sample_count)
+        )
+        assert float(ra.layers["n_path_vertices"]) == pytest.approx(
+            float(rb.layers["n_path_vertices"])
+        )
