@@ -124,10 +124,13 @@ def prepare_clustered(tlas: TLAS) -> Dict:
     if _STREAM != "0":
         cl_meta = jnp.pad(cl_meta, ((0, 0), (0, NSC * SC_GROUP)))
     extra = {}
-    if tlas.inst_aabb.shape[1] == 1:
+    if (tlas.inst_aabb.shape[1] == 1
+            and _os.environ.get("FREDHOLM_TRAV_RESIDENT", "0") == "1"):
         # single-instance scenes additionally carry the dense-by-cid meta
-        # for the ray-resident incoherent-dispatch kernel (~64 B/cluster)
-        from .pallas_resident import prepare_resident
+        # for the (experimental, chip-rejected) ray-resident kernel —
+        # built only when its env gate is on so the default scene build
+        # and per-frame refit pay nothing for it
+        from ..experimental.pallas_resident import prepare_resident
 
         extra = prepare_resident(tlas)
     # world-space union of all instance AABBs: no geometry exists beyond

@@ -74,7 +74,7 @@ def compact_rays(dest, o, d, t):
     order with one [M, 7] row scatter."""
     x = jnp.stack([o.x, o.y, o.z, d.x, d.y, d.z, t], axis=-1)
     y = _scatter_rows(dest, x)
-    from .cvec import V3
+    from ..fused.cvec import V3
 
     return (
         V3(y[:, 0], y[:, 1], y[:, 2]),
@@ -87,8 +87,14 @@ def uncompact_hits(dest, res: dict) -> dict:
     """Restore original lane order of a closest-hit result dict with one
     f32 and (if present) one int32 row gather. res planes: hit (bool),
     t/u/v (f32), prim (int32), optional inst (int32)."""
+    ints = [k for k in ("prim", "inst") if k in res]
+    # int planes ride the SAME stacked f32 row gather: a separate [M]
+    # int32 gather is per-element (the catastrophic access class,
+    # CLAUDE.md ~13 ms at 262k lanes). prim/inst ids are exact in f32 up
+    # to 2^24, far above any scene here.
     xf = jnp.stack(
-        [res["t"], res["u"], res["v"], res["hit"].astype(jnp.float32)],
+        [res["t"], res["u"], res["v"], res["hit"].astype(jnp.float32)]
+        + [res[k].astype(jnp.float32) for k in ints],
         axis=-1,
     )
     yf = xf[dest]
@@ -98,14 +104,8 @@ def uncompact_hits(dest, res: dict) -> dict:
         "v": yf[:, 2],
         "hit": yf[:, 3] > 0.5,
     }
-    ints = [k for k in ("prim", "inst") if k in res]
-    if len(ints) == 1:
-        out[ints[0]] = res[ints[0]][dest]
-    elif ints:
-        xi = jnp.stack([res[k] for k in ints], axis=-1)
-        yi = xi[dest]
-        for j, k in enumerate(ints):
-            out[k] = yi[:, j]
+    for j, k in enumerate(ints):
+        out[k] = yf[:, 4 + j].astype(jnp.int32)
     return out
 
 

@@ -44,8 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cluster import CLUSTER_SIZE, N_TRI_GROUPS, TRI_COMPONENTS, TRI_GROUP
-from .pallas_clustered import _HBM_SPACE, _inv_dir, _mt_scalar, _slab
+from ..accel.cluster import CLUSTER_SIZE, N_TRI_GROUPS, TRI_COMPONENTS, TRI_GROUP
+from ..accel.pallas_clustered import _HBM_SPACE, _inv_dir, _mt_scalar, _slab
 
 LANES = 128
 SUB = 16                     # sub-tile sublanes (gate granularity)
@@ -61,7 +61,7 @@ assert R_SUB % SUB == 0 and CHUNK % P_CL == 0
 def prepare_resident(tlas) -> Dict:
     """Dense-by-cid meta table (see module docstring). The triangle
     blocks are shared with prepare_clustered's dict."""
-    from .cluster import SC_GROUP
+    from ..accel.cluster import SC_GROUP
 
     k_total = int(tlas.blocks.shape[1] // CLUSTER_SIZE)
     k_pad = -(-k_total // CHUNK) * CHUNK
@@ -82,7 +82,18 @@ def prepare_resident(tlas) -> Dict:
     first = np.arange(0, k_pad, P_CL)
     meta[8:11, first] = lo.min(2)
     meta[11:14, first] = hi.max(2)
-    return {"res_meta": jnp.asarray(meta)}
+    out = {"res_meta": jnp.asarray(meta)}
+    if k_total % P_CL:
+        # the last page's block DMA reads P_CL*CLUSTER_SIZE columns from
+        # cid0*CLUSTER_SIZE — out of bounds when k_total isn't a P_CL
+        # multiple (unclamped OOB HBM read on hardware). Carry a padded
+        # copy of the triangle blocks for this kernel; pad clusters are
+        # harmless (empty meta AABBs never pass a gate, tri count 0).
+        pad = (-k_total % P_CL) * CLUSTER_SIZE
+        out["res_blocks"] = jnp.asarray(
+            np.pad(np.asarray(tlas.blocks), ((0, 0), (0, pad)))
+        )
+    return out
 
 
 def _make_kernel(n_chunks: int, n_sub: int, r_sub: int, any_hit: bool):
@@ -296,7 +307,8 @@ def _call(tiles, dev_c, any_hit: bool):
                 pltpu.SemaphoreType.DMA,
             ]
         ),
-    )(*tiles, dev_c["root_aabb"], meta, dev_c["blocks"])
+    )(*tiles, dev_c["root_aabb"], meta,
+      dev_c.get("res_blocks", dev_c["blocks"]))
     return res
 
 

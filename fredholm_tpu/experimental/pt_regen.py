@@ -43,15 +43,15 @@ import numpy as np
 
 from ..integrator import pt as pt_mod
 from ..sampling.sobol import sobol_owen_float_dyn
-from . import cbsdf
-from .cmappings import (
+from ..fused import cbsdf
+from ..fused.cmappings import (
     draw_cmj_2d,
     draw_sobol_1d,
     sample_concentric_disk,
     sample_cosine_weighted_hemisphere,
     sample_triangle,
 )
-from .cvec import (
+from ..fused.cvec import (
     V3,
     cross,
     dot,
@@ -67,7 +67,7 @@ from .cvec import (
     where3,
     world_to_local,
 )
-from .pt_fused import (
+from ..fused.pt_fused import (
     COL,
     _apply_tex_overrides,
     emission_from_attrs,

@@ -1016,11 +1016,11 @@ def _trace_c(dev, o: V3, dd: V3, t, coherent=False):
     """Component-layout trace: feeds the Pallas dense kernel without an
     [N,3] interleave; falls back to the stacked dispatcher otherwise.
 
-    With compaction enabled (fused/compact.py), alive lanes are packed to
+    With compaction enabled (experimental/compact.py), alive lanes are packed to
     the front first so dead lanes collapse into fully-dead tail tiles the
     traversal kernels skip; results return in original order (bit-exact —
     per-lane hits don't depend on tile membership)."""
-    from . import compact as _cp
+    from ..experimental import compact as _cp
 
     if _cp.enabled(dev):
         dest = _cp.partition_dest(t > 0.0)
@@ -1051,7 +1051,7 @@ def _trace_any_c(dev, o: V3, dd: V3, t, coherent=False):
         # perf decomposition only (everything unoccluded; aliveness and
         # wavefront structure identical to a real render)
         return jnp.zeros_like(t, dtype=bool)
-    from . import compact as _cp
+    from ..experimental import compact as _cp
 
     if _cp.enabled(dev):
         dest = _cp.partition_dest(t > 0.0)

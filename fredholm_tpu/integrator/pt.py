@@ -90,7 +90,7 @@ STATIC_DEV_KEYS = (
     "inst_identity",
     # texture kinds the fused pipeline fetches in-pipeline (pt_fused.py)
     "tex_kinds",
-    # wavefront compaction mode around fused trace calls (fused/compact.py)
+    # wavefront compaction mode around fused trace calls (experimental/compact.py)
     "compact",
 )
 
@@ -121,7 +121,7 @@ def _trace_closest_raw(dev, o, d, t_max, coherent=True):
         return intersect_closest_dense(dev["bvh"], o, d, t_max)
     if dev.get("use_clustered", False):
         if _use_resident(dev, coherent):
-            from ..accel.pallas_resident import intersect_closest_resident
+            from ..experimental.pallas_resident import intersect_closest_resident
 
             return intersect_closest_resident(dev["clusters"], o, d, t_max)
         return intersect_closest_clustered(
@@ -210,7 +210,7 @@ def trace_any(dev, o, d, t_max, coherent=True):
             return intersect_any_dense(dev["bvh"], o, d, t_max)
         if dev.get("use_clustered", False):
             if _use_resident(dev, coherent):
-                from ..accel.pallas_resident import intersect_any_resident
+                from ..experimental.pallas_resident import intersect_any_resident
 
                 return intersect_any_resident(dev["clusters"], o, d, t_max)
             return intersect_any_clustered(

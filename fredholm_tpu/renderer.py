@@ -229,7 +229,7 @@ class Renderer:
         # supported static envelope; set False to force the reference
         # wavefront integrator
         self.use_fused = True
-        # sample-slot regeneration (fused/pt_regen.py): dead lanes restart
+        # sample-slot regeneration (experimental/pt_regen.py): dead lanes restart
         # the pixel's next progressive sample in-place — the wavefront
         # replacement for OptiX's SIMT scheduling. Produces the same sample
         # stream; only the lane packing changes. OFF by default: measured
@@ -575,7 +575,7 @@ class Renderer:
         # (no IBL plumbing — IBL scenes take the unrolled pipeline)
         if (config.use_fused and self.use_regen and n_samples >= 2
                 and self.sky_mode != self.SKY_IBL):
-            from .fused.pt_regen import render_progressive_regen
+            from .experimental.pt_regen import render_progressive_regen
 
             self.layers, self.sample_count = render_progressive_regen(
                 arrays, dynamic, config, self.layers, self.sample_count,

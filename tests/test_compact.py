@@ -1,4 +1,4 @@
-"""Wavefront compaction (fused/compact.py) must be invisible: packing
+"""Wavefront compaction (experimental/compact.py) must be invisible: packing
 alive lanes to the front around a trace call and restoring result order
 is a pure permutation — TRACE results match bit-exactly with it on/off
 (per-lane hits don't depend on tile membership: tile gates are any-lane
@@ -12,7 +12,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from fredholm_tpu.fused.compact import partition_dest
+from fredholm_tpu.experimental.compact import partition_dest
 from fredholm_tpu.renderer import Renderer, _render_jit
 from fredholm_tpu.scene.procedural import cornell_box, terrain
 

@@ -1,4 +1,4 @@
-"""Sample-slot regeneration (fused/pt_regen.py).
+"""Sample-slot regeneration (experimental/pt_regen.py).
 
 The regeneration wavefront must produce the SAME sample stream as the
 unrolled fused pipeline — only the lane/stage packing differs — so its

@@ -1,4 +1,4 @@
-"""Ray-resident geometry-streamed traversal (accel/pallas_resident.py)
+"""Ray-resident geometry-streamed traversal (experimental/pallas_resident.py)
 vs the ordered clustered kernel and brute force.
 
 The resident kernel must return IDENTICAL hits to the ordered kernel on
@@ -12,7 +12,7 @@ import pytest
 import jax.numpy as jnp
 
 from fredholm_tpu.accel import pallas_clustered as pc
-from fredholm_tpu.accel import pallas_resident as pr
+from fredholm_tpu.experimental import pallas_resident as pr
 from fredholm_tpu.accel import traverse
 from fredholm_tpu.accel.cluster import build_tlas
 
@@ -22,8 +22,12 @@ from test_bvh import _sphere_blas
 @pytest.fixture(scope="module")
 def sphere_dev():
     h, v0, e1, e2 = _sphere_blas()
-    dev_c = pc.prepare_clustered(build_tlas([h], [(0, np.eye(4))]))
-    assert "res_meta" in dev_c  # single-instance scenes carry the table
+    tlas = build_tlas([h], [(0, np.eye(4))])
+    dev_c = pc.prepare_clustered(tlas)
+    # default build omits the resident table (the experiment is env-gated
+    # so production scene builds/refits pay nothing for it)
+    assert "res_meta" not in dev_c
+    dev_c = {**dev_c, **pr.prepare_resident(tlas)}
     return dev_c, v0, e1, e2
 
 
@@ -96,6 +100,40 @@ class TestResidentKernel:
             np.testing.assert_array_equal(
                 np.asarray(a[k]), np.asarray(b[k]), err_msg=k
             )
+
+
+class TestPartialPage:
+    def test_cluster_count_not_page_multiple(self):
+        """k_total % P_CL != 0: the last page's triangle-block DMA must
+        stay in bounds (prepare_resident pads a blocks copy). Regression
+        for a real OOB HBM read — interpret mode clamps the slice start,
+        silently shifting the last page's geometry."""
+        found = None
+        for n_phi in (10, 12, 14, 18, 22, 26, 30, 34):
+            h, v0, e1, e2 = _sphere_blas(n_theta=16, n_phi=n_phi)
+            k = h.n_clusters
+            if k % pr.P_CL:
+                found = (h, v0, e1, e2, k)
+                break
+        assert found is not None, "no mesh size gave k % P_CL != 0"
+        h, v0, e1, e2, k = found
+        tlas = build_tlas([h], [(0, np.eye(4))])
+        dev_c = {**pc.prepare_clustered(tlas), **pr.prepare_resident(tlas)}
+        assert "res_blocks" in dev_c
+        o, d = _rays(512, seed=21)
+        got = pr.intersect_closest_resident(
+            dev_c, jnp.asarray(o), jnp.asarray(d), 1e9
+        )
+        ref = traverse.brute_force_closest(
+            jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+            jnp.asarray(o), jnp.asarray(d), 1e9,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["hit"]), np.asarray(ref["hit"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["t"]), np.asarray(ref["t"]), rtol=1e-4
+        )
 
 
 class TestResidentRouting:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import fredholm_tpu.accel.pallas_clustered as pc
-import fredholm_tpu.accel.pallas_resident as pr
+import fredholm_tpu.experimental.pallas_resident as pr
 from fredholm_tpu.accel.bvh import build_bvh
 from fredholm_tpu.accel.cluster import build_tlas, extract_hierarchy
 from fredholm_tpu.core.swizzle import swizzled_pixel_coords
@@ -37,7 +37,9 @@ def main():
     e2 = v[:, 2] - v[:, 0]
     b = build_bvh(v.min(1), v.max(1), thread=False)
     tlas = build_tlas([extract_hierarchy(b, v0, e1, e2)], [(0, np.eye(4))])
-    dev_c = pc.prepare_clustered(tlas)
+    # prepare_clustered no longer builds the resident table by default
+    # (experiment is env-gated); merge it explicitly for the A/B
+    dev_c = {**pc.prepare_clustered(tlas), **pr.prepare_resident(tlas)}
     print(f"P_CL={pr.P_CL} R_SUB={pr.R_SUB} res_meta {dev_c['res_meta'].shape}",
           flush=True)
 
