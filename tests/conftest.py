@@ -30,3 +30,22 @@ _cache = os.path.expanduser("~/.cache/jax_comp")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+# file-level slow tier (pyproject addopts excludes it by default; run
+# `pytest -m slow` for these four multi-minute suites)
+_SLOW_FILES = {
+    "test_golden.py",
+    "test_textured.py",
+    "test_regen.py",
+    "test_denoiser_unet.py",
+    # quarantined-experiment suite; ~11 min of interpret-mode kernels
+    "test_resident.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
