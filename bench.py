@@ -17,16 +17,25 @@ final line as the headline):
 
 The default invocation is an ORCHESTRATOR: each metric runs in its own
 subprocess (`--only N`) under a HARD per-metric timeout, inside a global
-budget (FREDHOLM_BENCH_BUDGET seconds, default 420). The primary cornell
-metric is measured FIRST (while the budget is fresh and the tunnel is
-known-alive) but its JSON line is buffered and printed LAST, so the
-driver's last-line parse always records the headline even if a later
-metric hangs in an XLA compile — round 3's in-process run was killed at
-the driver timeout (rc=124) mid-metric and the terrain line got recorded
-as the headline. A hung compile cannot be interrupted in-process (the
-hang is inside a C++ call, signals don't land), hence subprocesses.
-Failure isolation: a tunnel outage on one scene does not abort the rest;
-the primary is retried once.
+budget (FREDHOLM_BENCH_BUDGET seconds, default 420). Outage resilience
+(rounds 3 AND 4 lost their driver bench record to tunnel downtime):
+
+- Phase 1 WAITS for the tunnel: a tiny-op ping subprocess behind a
+  backoff loop that spans the whole budget — doomed metric launches no
+  longer burn the budget while the backend is down.
+- Phase 2 runs the SMOKE metric first (cheapest real measurement, ~s
+  warm): something lands early, and it is the headline fallback if the
+  tunnel dies before the full primary completes.
+- The full cornell primary runs next; its JSON line is buffered and
+  printed LAST (the driver parses the final stdout line as headline).
+- Secondaries each re-ping before launching; a mid-run outage re-enters
+  the wait loop instead of eating per-metric timeouts.
+- Every completed line is flushed immediately to stdout AND (with
+  --jsonl PATH / FREDHOLM_BENCH_JSONL) appended to a file, so a kill at
+  ANY point preserves all completed measurements.
+
+A hung XLA compile cannot be interrupted in-process (the hang is inside
+a C++ call, signals don't land), hence subprocesses throughout.
 
 `--smoke` runs a tiny config; `--sharded` runs the pixel-sharded
 shard_map path on a real-device mesh (proves collectives compile on the
@@ -189,9 +198,11 @@ def _bench_terrain(width, height, spp, max_depth):
     return _timed_render(r, spp, max_depth)
 
 
-def _bench_sharded(width, height, spp, max_depth):
+def _bench_sharded(width, height, spp, max_depth, scene="cornell"):
     """Pixel-sharded render over all visible real devices (1-device mesh on
-    the single dev chip — proves shard_map+psum compile/run on the TPU)."""
+    the single dev chip — proves shard_map+psum compile/run on the TPU).
+    scene="terrain" drives the PRODUCTION clustered traversal under
+    shard_map (not just the dense demo intersector)."""
     import jax
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -201,7 +212,7 @@ def _bench_sharded(width, height, spp, max_depth):
         render_progressive_sharded,
     )
     from fredholm_tpu.renderer import Renderer
-    from fredholm_tpu.scene.procedural import cornell_box
+    from fredholm_tpu.scene.procedural import cornell_box, terrain
 
     n_dev = len(jax.devices())
     while height % n_dev:
@@ -209,8 +220,16 @@ def _bench_sharded(width, height, spp, max_depth):
     mesh = make_mesh(n_dev)
 
     r = Renderer(width=width, height=height)
-    r.set_scene(cornell_box())
-    r.camera.origin = np.asarray([0.0, 1.0, 0.6], np.float32)
+    if scene == "terrain":
+        r.set_scene(terrain())
+        r.camera.origin = np.asarray([0.0, 4.5, 11.0], np.float32)
+        r.camera.look_around(0.0, -0.25)
+        r.set_directional_light([2.0, 1.9, 1.8], [0.35, 0.75, 0.3],
+                                angle=0.5)
+        r.load_arhosek_sky(turbidity=3.0, albedo=0.3)
+    else:
+        r.set_scene(cornell_box())
+        r.camera.origin = np.asarray([0.0, 1.0, 0.6], np.float32)
     r.camera._update_transform()
     dev, static_params, dynamic = r.sharding_inputs(max_depth=max_depth)
 
@@ -319,29 +338,99 @@ def _run_subprocess(n, timeout_s, extra=()):
     return line
 
 
+def _tunnel_up(timeout_s: float = 60.0) -> bool:
+    """One tiny-op ping of the TPU backend in a subprocess (backend init
+    hangs, not errors, when the axon tunnel is down — only a subprocess
+    timeout bounds it)."""
+    import subprocess
+
+    cache = os.path.expanduser("~/.cache/jax_comp")
+    code = (
+        "import jax\n"
+        f"jax.config.update('jax_compilation_cache_dir', {cache!r})\n"
+        "import jax.numpy as jnp\n"
+        "assert jax.devices()[0].platform != 'cpu'\n"
+        "print('PING', float(jnp.sum(jnp.ones((8, 128)))))\n"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        return p.returncode == 0 and "PING" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_tunnel(_left, reserve: float = 45.0) -> bool:
+    """Ping behind a backoff loop spanning the remaining budget. Returns
+    True as soon as a ping lands; False once less than `reserve` seconds
+    remain (so the final headline print can never be cut off)."""
+    backoff = 10.0
+    first = True
+    while _left() > reserve:
+        if _tunnel_up(min(60.0, _left() - reserve)):
+            if not first:
+                print("bench: tunnel is back", file=sys.stderr, flush=True)
+            return True
+        first = False
+        wait = min(backoff, max(0.0, _left() - reserve))
+        print(f"bench: tunnel down, retrying in {wait:.0f}s "
+              f"({_left():.0f}s budget left)", file=sys.stderr, flush=True)
+        time.sleep(wait)
+        backoff = min(backoff * 1.7, 60.0)
+    return False
+
+
 def _orchestrate(args) -> None:
-    """Subprocess-per-metric with hard timeouts. Primary MEASURED first,
-    PRINTED last (the driver parses the final stdout line as headline)."""
+    """Subprocess-per-metric with hard timeouts and tunnel-outage
+    resilience (see module docstring). Headline is PRINTED last."""
     budget = float(os.environ.get("FREDHOLM_BENCH_BUDGET", "420"))
     t_start = time.time()
 
     def _left():
         return budget - (time.time() - t_start)
 
+    jsonl = None
+    if args.jsonl:
+        jsonl = open(args.jsonl, "a", buffering=1)
+
+    def out_line(line):
+        print(line, flush=True)
+        if jsonl:
+            jsonl.write(line + "\n")
+
     metrics = {n: (est, name) for n, est, name, _ in _metric_table(args)}
     fwd = ["--spp", str(args.spp), "--max-depth", str(args.max_depth)]
 
-    # 1. primary first: generous timeout (cold compile can take minutes),
-    #    one retry on failure/outage; line is buffered, not printed yet
-    primary = _run_subprocess(1, min(max(150.0, _left() * 0.5), _left()),
-                              extra=fwd + (["--out", args.out]
-                                           if args.out else []))
-    if primary is None and _left() > 90:
-        print("bench: primary retry", file=sys.stderr, flush=True)
-        primary = _run_subprocess(1, _left() * 0.6, extra=fwd)
+    # 1. wait for the tunnel (backoff ping spanning the whole budget)
+    up = _wait_tunnel(_left)
 
-    # 2. secondaries, cheap/valuable first; each needs est + slack, and
-    #    always leave 20s so the final print cannot be cut off
+    # 2. smoke first: the cheapest real measurement lands while the
+    #    tunnel is known-alive — the headline fallback from here on
+    smoke = None
+    if up:
+        smoke = _run_subprocess(1, min(240.0, max(60.0, _left() - 30)),
+                                extra=["--smoke"])
+        if smoke and jsonl:
+            jsonl.write(smoke + "\n")
+
+    # 3. full primary: generous timeout (cold compile can take minutes),
+    #    one retry; line buffered, printed last
+    primary = None
+    if up and _left() > 60:
+        primary = _run_subprocess(
+            1, min(max(150.0, _left() * 0.5), _left() - 30),
+            extra=fwd + (["--out", args.out] if args.out else []))
+        if primary is None and _left() > 90 and _wait_tunnel(_left):
+            print("bench: primary retry", file=sys.stderr, flush=True)
+            primary = _run_subprocess(1, _left() * 0.6, extra=fwd)
+    if primary and jsonl:
+        jsonl.write(primary + "\n")
+
+    # 4. secondaries, cheap/valuable first; re-ping before each so a
+    #    mid-run outage re-enters the wait loop instead of burning
+    #    per-metric timeouts; always leave 20s for the final print
     for n in (2, 3, 4, 5):
         est, name = metrics[n]
         if _left() - 20 < est:
@@ -349,25 +438,32 @@ def _orchestrate(args) -> None:
                   f"{_left():.0f}s left < est {est}s",
                   file=sys.stderr, flush=True)
             continue
+        if not _tunnel_up(min(60.0, _left() - est - 20)):
+            if not _wait_tunnel(_left, reserve=est + 20):
+                print(f"bench: tunnel down, no budget for metric {n}",
+                      file=sys.stderr, flush=True)
+                break
         line = _run_subprocess(n, min(est * 2.5, _left() - 20), extra=fwd)
         if line:
-            print(line, flush=True)
+            out_line(line)
 
-    # 3. headline last. If the primary never produced a line (tunnel hard
-    #    down), fall back to a smoke run so the driver still records a
-    #    real measurement rather than a stale secondary line.
-    if primary is None and _left() > 30:
-        primary = _run_subprocess(1, _left() - 5,
-                                  extra=["--smoke"] + (["--out", args.out]
-                                                       if args.out else []))
-    if primary:
-        print(primary, flush=True)
+    # 5. headline last: full primary, else the smoke line (a real
+    #    measurement beats a zero), else the explicit failure record
+    headline = primary or smoke
+    if headline is None and _left() > 30 and _wait_tunnel(_left):
+        headline = _run_subprocess(1, _left() - 5, extra=["--smoke"])
+        if headline and jsonl:
+            jsonl.write(headline + "\n")
+    if headline:
+        print(headline, flush=True)
     else:
-        print(json.dumps({
+        out_line(json.dumps({
             "metric": "cornell-box 512x512 single-chip path tracing "
                       "(FAILED: TPU tunnel unavailable for entire budget)",
             "value": 0.0, "unit": "Mpath-vertices/s", "vs_baseline": 0.0,
-        }), flush=True)
+        }))
+    if jsonl:
+        jsonl.close()
 
 
 def main() -> None:
@@ -376,12 +472,20 @@ def main() -> None:
     ap.add_argument("--max-depth", type=int, default=5)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--sharded", action="store_true")
+    ap.add_argument("--sharded-scene", choices=["cornell", "terrain"],
+                    default="cornell")
     ap.add_argument(
         "--only", type=int, default=0,
         help="run just metric N in-process (1=cornell, 2=sweep, 3=1080p, "
              "4=terrain, 5=10M-tri instanced tiles)",
     )
     ap.add_argument("--out", type=str, default="")
+    ap.add_argument(
+        "--jsonl", type=str,
+        default=os.environ.get("FREDHOLM_BENCH_JSONL", ""),
+        help="append each completed metric's JSON line to this file as it "
+             "lands (survives a kill at any point)",
+    )
     args = ap.parse_args()
 
     if (args.only == 0 and not args.smoke and not args.sharded
@@ -402,12 +506,23 @@ def main() -> None:
         return
 
     if args.sharded:
-        mpvs, n_dev = _bench_sharded(512, 512, args.spp, args.max_depth)
-        _emit(
-            f"cornell-box 512x512 @{args.spp}spp depth{args.max_depth} "
-            f"pixel-sharded over {n_dev}-device mesh",
-            mpvs,
-        )
+        if args.sharded_scene == "terrain":
+            mpvs, n_dev = _bench_sharded(
+                512, 288, 4, args.max_depth, scene="terrain"
+            )
+            _emit(
+                f"terrain ~1.05M-tris 512x288 @4spp depth{args.max_depth} "
+                f"pixel-sharded over {n_dev}-device mesh "
+                f"(clustered traversal)",
+                mpvs,
+            )
+        else:
+            mpvs, n_dev = _bench_sharded(512, 512, args.spp, args.max_depth)
+            _emit(
+                f"cornell-box 512x512 @{args.spp}spp depth{args.max_depth} "
+                f"pixel-sharded over {n_dev}-device mesh",
+                mpvs,
+            )
         return
 
     # --only N / FREDHOLM_BENCH_INPROC=1: run in this process
