@@ -20,10 +20,13 @@ CPU fallback; fused/kernels.py wraps the same bodies in Pallas kernels for
 the TPU fast path.
 
 Supported static envelope (renderer._config gates this; integrator/pt.py
-remains the general path): no alpha cutout, no normal/height maps,
-constant/Hosek/IBL sky (IBL incl. environment importance sampling, jnp
-bodies only — mosaic has no texel gather), <= MAX_KERNEL_LIGHTS area
-lights. Textures ride the in-pipeline bilinear fetch (TEX_KINDS).
+remains the general path): constant/Hosek/IBL sky (IBL incl. environment
+importance sampling, jnp bodies only — mosaic has no texel gather),
+<= MAX_KERNEL_LIGHTS area lights. Textures ride the in-pipeline bilinear
+fetch (TEX_KINDS), including tangent-space normal maps and bump (height)
+maps — fetched in the gather stage, applied elementwise in mega_body
+(pt.cu:710-742). Alpha-cutout scenes route every trace through the
+alpha-aware re-trace loop (pt.cu:545-678 anyhit analog, _trace_c_raw).
 
 Reference: /root/reference/fredholm/modules/pt.cu:418-999 (the megakernel
 this wavefront pipeline replaces).
@@ -84,11 +87,15 @@ _GEOM_COL_NAMES: List[Tuple[str, int]] = [
     ("uv0", 2), ("uv1", 2), ("uv2", 2),
     ("area", 1), ("mat_id", 1),
 ]
-# texture kinds servable inside the fused pipeline (the fill_shading_params
-# overrides, pt.cu:181-280, minus alpha/normal/height which renderer gates)
+# texture kinds servable inside the fused pipeline: the fill_shading_params
+# overrides (pt.cu:181-280) plus shading-frame perturbation maps
+# (normalmap/heightmap, pt.cu:710-742 — fetched in the gather stage like
+# every other kind, applied elementwise in mega_body). Alpha remains the
+# renderer-gated exception (it changes the TRACE, not the shade).
 TEX_KINDS = (
     "base_color", "specular_color", "specular_roughness", "metalness",
     "metallic_roughness", "coat", "coat_roughness", "emission",
+    "normalmap", "heightmap",
 )
 
 # material table: gathered by MAT_ID via a tiny [2N, M] one-hot matmul —
@@ -329,12 +336,11 @@ class FusedConfig(NamedTuple):
 
 
 def fused_supported(dev: Dict, params: Dict) -> bool:
-    """Static envelope check (see module docstring)."""
+    """Static envelope check (see module docstring). Normal/height maps
+    ride the in-pipeline fetch (TEX_KINDS) and alpha cutout the
+    alpha-aware trace wrappers (_trace_c_raw), both since round 5."""
     return (
-        not dev.get("has_alpha", False)
-        and not dev.get("any_heightmap", False)
-        and not dev.get("any_normalmap", False)
-        and params["sky_mode"] in (SKY_CONSTANT, SKY_IBL, SKY_HOSEK)
+        params["sky_mode"] in (SKY_CONSTANT, SKY_IBL, SKY_HOSEK)
         and dev.get("n_lights", 0) <= MAX_KERNEL_LIGHTS
         and (params["width"] * params.get("tile_height", params["height"]))
         % 128 == 0
@@ -542,6 +548,25 @@ def fetch_texture_planes(dev, cfg: FusedConfig, attrs, w1, w2):
         base = COL["tx_" + kind]
         tid = attrs[base]
         hdr_cols = tuple(attrs[base + i] for i in range(1, 6))
+        if kind == "heightmap":
+            # bump mapping needs forward differences (pt.py
+            # apply_normal_mapping / pt.cu:710-725): three taps at uv,
+            # uv+du, uv+dv with du/dv = one texel — fetched here, the
+            # derivative planes are consumed elementwise in mega_body
+            du = 1.0 / hdr_cols[1]
+            dv = 1.0 / hdr_cols[2]
+            tx = dev["textures"]
+            h0 = sample_texture_hdr(tx, tid, uv, hdr_cols)[..., 0]
+            hdu = sample_texture_hdr(
+                tx, tid, jnp.stack([u + du, v], -1), hdr_cols
+            )[..., 0]
+            hdv = sample_texture_hdr(
+                tx, tid, jnp.stack([u, v + dv], -1), hdr_cols
+            )[..., 0]
+            attrs["tx_heightmap_has"] = jnp.where(tid >= 0.0, 1.0, 0.0)
+            attrs["tx_heightmap_dfdu"] = hdu - h0
+            attrs["tx_heightmap_dfdv"] = hdv - h0
+            continue
         rgba = sample_texture_hdr(dev["textures"], tid, uv, hdr_cols)
         # f32 (not bool): these planes may enter Pallas kernels as inputs
         attrs["tx_" + kind + "_has"] = jnp.where(tid >= 0.0, 1.0, 0.0)
@@ -788,6 +813,41 @@ def mega_body(
     n_g = V3(n_g.x * flip, n_g.y * flip, n_g.z * flip)
     tangent, bitangent = orthonormal_basis(n_s)
 
+    # bump + normal mapping (pt.py apply_normal_mapping / pt.cu:710-742),
+    # from the planes pre-fetched in the gather stage — elementwise only,
+    # so the same code runs under jnp and inside the Pallas megakernel.
+    # Frames must match the general path bit-for-bit (equivalence tests).
+    if "heightmap" in cfg.tex_kinds:
+        use_h = rattr["tx_heightmap_has"] > 0.0
+        t_b = normalize(tangent + vsplat(rattr["tx_heightmap_dfdu"]) * n_s)
+        b_b = normalize(
+            bitangent + vsplat(rattr["tx_heightmap_dfdv"]) * n_s
+        )
+        n_b = normalize(cross(t_b, b_b))
+        p_tangent = where3(use_h, t_b, tangent)
+        p_bitangent = where3(use_h, b_b, bitangent)
+        p_n_s = where3(use_h, n_b, n_s)
+    else:
+        p_tangent, p_bitangent, p_n_s = tangent, bitangent, n_s
+    if "normalmap" in cfg.tex_kinds:
+        use_n = rattr["tx_normalmap_has"] > 0.0
+        # tangent-space map with +Z normal; the local frame is +Y, so the
+        # decoded (x, y, z) swizzles to (x, z, y) — built on the
+        # UN-perturbed frame, exactly as the general path does
+        n_m = normalize(local_to_world(
+            V3(
+                rattr["tx_normalmap_r"] * 2.0 - 1.0,
+                rattr["tx_normalmap_b"] * 2.0 - 1.0,
+                rattr["tx_normalmap_g"] * 2.0 - 1.0,
+            ),
+            tangent, n_s, bitangent,
+        ))
+        p_n_s = where3(use_n, n_m, p_n_s)
+        t_m, b_m = orthonormal_basis(p_n_s)
+        p_tangent = where3(use_n, t_m, p_tangent)
+        p_bitangent = where3(use_n, b_m, p_bitangent)
+    tangent, bitangent, n_s = p_tangent, p_bitangent, p_n_s
+
     sp = _shading_params_from_attr(rattr)
     _apply_tex_overrides(cfg, sp, rattr)
 
@@ -1016,7 +1076,7 @@ def _trace_c(dev, o: V3, dd: V3, t, coherent=False):
     """Component-layout trace: feeds the Pallas dense kernel without an
     [N,3] interleave; falls back to the stacked dispatcher otherwise.
 
-    With compaction enabled (experimental/compact.py), alive lanes are packed to
+    With compaction enabled (fused/compact.py), alive lanes are packed to
     the front first so dead lanes collapse into fully-dead tail tiles the
     traversal kernels skip; results return in original order (bit-exact —
     per-lane hits don't depend on tile membership)."""
@@ -1031,6 +1091,14 @@ def _trace_c(dev, o: V3, dd: V3, t, coherent=False):
 
 
 def _trace_c_raw(dev, o: V3, dd: V3, t, coherent=False):
+    if dev.get("has_alpha", False):
+        # alpha cutout (in the fused envelope since round 5): the general
+        # path's re-trace loop — the wavefront optixIgnoreIntersection,
+        # pt.cu:545-678 — wraps whichever traversal kernel the scene uses
+        # and exits immediately when every hit is opaque
+        return pt_mod.trace_closest(
+            dev, to_stacked(o), to_stacked(dd), t, coherent=coherent
+        )
     if dev["use_dense"] and dev.get("use_pallas", True):
         from ..accel.pallas_dense import intersect_closest_pallas_c
 
@@ -1044,9 +1112,9 @@ def _trace_c_raw(dev, o: V3, dd: V3, t, coherent=False):
 def _trace_any_c(dev, o: V3, dd: V3, t, coherent=False):
     """Component-layout occlusion trace (optixTrace RAY_TYPE_SHADOW
     analog, pt.cu:103-108 terminate-on-first-hit): returns occluded [N]
-    bool. The fused envelope excludes alpha scenes (fused_supported), so
-    this dispatches straight to the first-hit kernels — the clustered one
-    early-exits per tile once every alive lane is occluded."""
+    bool. Opaque scenes dispatch straight to the first-hit kernels — the
+    clustered one early-exits per tile once every alive lane is occluded;
+    alpha scenes take the alpha-aware re-trace via pt_mod.trace_any."""
     if _os.environ.get("FREDHOLM_FUSED_ABLATE", "") == "noocc":
         # perf decomposition only (everything unoccluded; aliveness and
         # wavefront structure identical to a real render)
@@ -1062,7 +1130,10 @@ def _trace_any_c(dev, o: V3, dd: V3, t, coherent=False):
 
 
 def _trace_any_c_raw(dev, o: V3, dd: V3, t, coherent=False):
-    if dev["use_dense"] and dev.get("use_pallas", True):
+    # alpha scenes skip the dense fast path: pt_mod.trace_any routes
+    # occlusion through the alpha-aware re-trace (first OPAQUE hit)
+    if (dev["use_dense"] and dev.get("use_pallas", True)
+            and not dev.get("has_alpha", False)):
         from ..accel.pallas_dense import intersect_any_pallas_c
 
         return intersect_any_pallas_c(

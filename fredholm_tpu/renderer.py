@@ -517,16 +517,13 @@ class Renderer:
                 and self._ibl_dist is not None
             ),
             # fused megakernel pipeline envelope (fused/pt_fused.py):
-            # textured OK (in-pipeline fetch), all sky modes incl. IBL with
-            # importance sampling (jnp bodies — no mosaic texel gather);
-            # no alpha cutout or normal/height maps
+            # textured OK (in-pipeline fetch, incl. normal/bump maps and
+            # alpha cutout since round 5), all sky modes incl. IBL with
+            # importance sampling (jnp bodies — no mosaic texel gather)
             use_fused=(
                 self.use_fused
                 and self.sampler_mode == "sobol_cmj"
                 and "thin_film" not in ss["lobes_on"]
-                and not ss["has_alpha"]
-                and not ss["any_heightmap"]
-                and not ss["any_normalmap"]
                 and self.sky_mode
                 in (self.SKY_CONSTANT, self.SKY_IBL, self.SKY_HOSEK)
                 and self._dev["n_lights"] <= 16
@@ -574,7 +571,11 @@ class Renderer:
         # it needs >= 2 spp per call to have anything to refill with
         # (no IBL plumbing — IBL scenes take the unrolled pipeline)
         if (config.use_fused and self.use_regen and n_samples >= 2
-                and self.sky_mode != self.SKY_IBL):
+                and self.sky_mode != self.SKY_IBL
+                # the quarantined regen body predates in-pipeline
+                # normal/bump perturbation — keep its envelope to the
+                # scenes it reproduces sample-exactly
+                and not set(config.tex_kinds) & {"normalmap", "heightmap"}):
             from .experimental.pt_regen import render_progressive_regen
 
             self.layers, self.sample_count = render_progressive_regen(

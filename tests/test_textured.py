@@ -253,3 +253,113 @@ class TestInstancing:
         right = img[8, 9]
         assert float(left[0]) > 0.5 and float(left[1]) < 0.1, left
         assert float(right[1]) > 0.5 and float(right[0]) < 0.1, right
+
+
+class TestPerturbFusedMatchesGeneral:
+    """Normal/height-mapped scenes entered the fused envelope in round 5:
+    the fused pipeline's in-gather fetch + elementwise perturbation
+    (pt_fused.mega_body) must reproduce the general wavefront path's
+    apply_normal_mapping (pt.cu:710-742 parity chain)."""
+
+    def _nm_scene(self):
+        # sine-ripple tangent-space normal map over a checker base color
+        w = 16
+        nm = np.zeros((w, w, 4), np.uint8)
+        xs = np.arange(w) / w
+        tilt = 0.45 * np.sin(2 * np.pi * xs * 2)
+        nx = tilt[None, :].repeat(w, 0)
+        nz = np.sqrt(1.0 - nx**2)
+        nm[..., 0] = ((nx * 0.5 + 0.5) * 255).astype(np.uint8)
+        nm[..., 1] = 127
+        nm[..., 2] = ((nz * 0.5 + 0.5) * 255).astype(np.uint8)
+        nm[..., 3] = 255
+        bc = np.zeros((8, 8, 4), np.uint8)
+        bc[..., 3] = 255
+        bc[::2, :, 0] = 255
+        bc[1::2, :, 1] = 255
+        mat = Material(
+            specular=0.3, specular_roughness=0.4,
+            normalmap_texture_id=0, base_color_texture_id=1,
+        )
+        return quad_scene(
+            [mat],
+            [TextureImage(data=nm, is_srgb=False),
+             TextureImage(data=bc, is_srgb=True)],
+        )
+
+    def _hm_scene(self):
+        hm = np.zeros((8, 8, 4), np.uint8)
+        hm[:, :, 0] = np.tile((np.arange(8) * 32).astype(np.uint8), (8, 1))
+        hm[..., 3] = 255
+        mat = Material(specular=0.2, heightmap_texture_id=0)
+        return quad_scene([mat], [TextureImage(data=hm, is_srgb=False)])
+
+    def _render(self, sc, fused, spp=2, depth=3):
+        r = front_renderer(sc)
+        r.use_fused = fused
+        r.set_bg_color((0.3, 0.4, 0.5))
+        cfg = r._config(1, depth)
+        assert cfg.use_fused == fused  # normal maps no longer disqualify
+        r.render(n_samples=spp, max_depth=depth)
+        return {k: np.asarray(v) for k, v in r.layers.items()}
+
+    @pytest.mark.parametrize("which", ["normalmap", "heightmap"])
+    def test_fused_matches_general(self, which):
+        sc = self._nm_scene() if which == "normalmap" else self._hm_scene()
+        gen = self._render(sc, fused=False)
+        fus = self._render(sc, fused=True)
+        for k in ("beauty", "normal", "albedo", "depth"):
+            np.testing.assert_allclose(
+                gen[k], fus[k], rtol=2e-4, atol=5e-4,
+                err_msg=f"{which} fused {k}",
+            )
+
+
+class TestAlphaFusedMatchesGeneral:
+    """Alpha-cutout scenes entered the fused envelope in round 5: every
+    fused trace routes through the alpha-aware re-trace loop
+    (pt.cu:545-678 anyhit analog), so images must match the general
+    wavefront path."""
+
+    def _scene(self):
+        # front quad with a checker alpha cutout over a solid back quad
+        a = np.full((8, 8, 4), 255, np.uint8)
+        a[::2, ::2, 0] = 0  # alpha texture reads channel 0
+        a[1::2, 1::2, 0] = 0
+        front = Material(specular=0.0, base_color=(0.9, 0.2, 0.2),
+                         alpha_texture_id=0)
+        back = Material(specular=0.0, base_color=(0.2, 0.2, 0.9))
+        v, n, t, f = _quad([-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0])
+        v2, n2, t2, f2 = _quad(
+            [-2, -2, -1], [2, -2, -1], [2, 2, -1], [-2, 2, -1]
+        )
+        return Scene(
+            vertices=np.concatenate([v, v2]),
+            normals=np.concatenate([n, n2]),
+            texcoords=np.concatenate([t, t2]),
+            indices=np.concatenate([f, f2 + len(v)]),
+            material_ids=np.asarray([0, 0, 1, 1], np.int32),
+            instance_ids=np.zeros((4,), np.int32),
+            materials=[front, back],
+            textures=[TextureImage(data=a, is_srgb=False)],
+            transforms=np.eye(4, dtype=np.float32)[None],
+            submesh_offsets=[0],
+            submesh_n_faces=[4],
+        )
+
+    def test_fused_matches_general(self):
+        outs = {}
+        for fused in (False, True):
+            r = front_renderer(self._scene())
+            r.use_fused = fused
+            r.set_bg_color((0.3, 0.4, 0.5))
+            cfg = r._config(1, 3)
+            assert cfg.has_alpha
+            assert cfg.use_fused == fused  # alpha no longer disqualifies
+            r.render(n_samples=2, max_depth=3)
+            outs[fused] = {k: np.asarray(v) for k, v in r.layers.items()}
+        for k in ("beauty", "depth", "albedo", "normal"):
+            np.testing.assert_allclose(
+                outs[False][k], outs[True][k], rtol=2e-4, atol=5e-4,
+                err_msg="alpha fused " + k,
+            )
