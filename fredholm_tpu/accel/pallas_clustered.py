@@ -75,6 +75,15 @@ _ABLATE = _os.environ.get("FREDHOLM_TRAV_ABLATE", "")
 # [inst_visits, sc_tests, sc_visits, cl_tests, cl_visits, grp_tests,
 #  grp_visits, tri_tests] summed over tiles (tools/probe_traversal.py)
 _STATS = _os.environ.get("FREDHOLM_TRAV_STATS", "") == "1"
+# sub-window sweep gating (round-5 lever): gate the per-cluster group
+# gates + triangle sweeps per SUBROWS-row window of the ray tile (the f32
+# vreg height, 8) instead of the full [SUBLANES, 128] tile — the block
+# DMA stays per-tile (halving the DMA width is what made SUBLANES=8 lose
+# on chip). Pixel-swizzled interest is spatially concentrated, so windows
+# are often singly interested and a visited cluster then costs half (or
+# 1/n_win) the VPU sweep width. Per-lane results are bit-identical by
+# construction (each lane's merges only read its own row). 0 disables.
+_SUBROWS = int(_os.environ.get("FREDHOLM_TRAV_SUBROWS", "8"))
 # cluster gating strategy: "twopass" (DEFAULT — measured +22% primary /
 # +18% bounce on the 1M-tri terrain, round 3) vector-gates ALL clusters of
 # the supercluster first (8 slab tests per fori iteration, interested ids
@@ -226,7 +235,7 @@ def _mt_scalar(smem, i, ox, oy, oz, dx, dy, dz):
 
 
 def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
-                 stats: bool = False):
+                 stats: bool = False, sub: int = SUBLANES):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                inst_aabb, inst_minv, inst_sc, sc_aabb, sc_mcount,
                sc_order, sc_key, reg_aabb, root_aabb,
@@ -325,9 +334,12 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                         sc_n = inst_sc[1, i]
                         reg_lo = inst_sc[2, i]
 
-                        def cluster_sweep(j):
+                        def cluster_sweep(j, bhit):
                             """Sweep member cluster at clm COLUMN j (the
-                            caller adds any chunk offset)."""
+                            caller adds any chunk offset). bhit: the
+                            caller's full-tile cluster slab mask — its
+                            per-window any() gates the sub-window sweeps
+                            (round-5 lever; see _SUBROWS)."""
                             bump(4)
                             if _ABLATE == "noblkdma":
                                 best_u[:] = best_u[:] + 1e-30
@@ -345,80 +357,114 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                             dma_b.wait()
                             cnt = clm[6, j].astype(jnp.int32)
 
-                            def grp_sweep(g):
-                                """Statically-unrolled 16-tri sweep with
-                                local best accumulation: the dynamic
-                                per-triangle fori_loop was iteration-
-                                overhead bound (~150 ns/iter on this chip
-                                dwarfing the ~45-op MT math); a straight-
-                                line block with static SMEM offsets and ONE
-                                ref merge per group lets mosaic pipeline
-                                the whole sweep."""
-                                bump(6)
-                                base = g * TRI_GROUP
-                                gt = best_t[:]
-                                gp = best_prim[:]
-                                if not any_hit:
-                                    gu = best_u[:]
-                                    gv = best_v[:]
-                                for k in range(TRI_GROUP):
-                                    bump(7)
-                                    kk = base + k
-                                    if _ABLATE == "notri":
-                                        continue
-                                    t, u, v, valid = _mt_scalar(
-                                        smem, kk,
-                                        ox, oy, oz, dx, dy, dz,
-                                    )
-                                    improved = (
-                                        valid & (t < gt)
-                                        & (kk < cnt)
-                                    )
-                                    gp = jnp.where(
-                                        improved, smem[9, kk], gp
-                                    )
+                            def sweep_rows(r0, nr):
+                                """Group gates + unrolled 16-tri sweeps
+                                over tile rows [r0, r0+nr) — one f32 vreg
+                                tall under sub-window gating. The static
+                                unroll with ONE ref merge per group
+                                removes the ~150 ns/iter fori overhead
+                                that dominated the MT math (round 3)."""
+                                rs = (slice(None)
+                                      if r0 == 0 and nr == sub
+                                      else slice(r0, r0 + nr))
+                                oxw, oyw, ozw = ox[rs], oy[rs], oz[rs]
+                                dxw, dyw, dzw = dx[rs], dy[rs], dz[rs]
+                                invw = (inv[0][rs], inv[1][rs], inv[2][rs])
+
+                                def grp_sweep(g):
+                                    bump(6)
+                                    base = g * TRI_GROUP
+                                    gt = best_t[rs]
+                                    gp = best_prim[rs]
                                     if not any_hit:
-                                        gu = jnp.where(improved, u, gu)
-                                        gv = jnp.where(improved, v, gv)
-                                        gt = jnp.where(improved, t, gt)
-                                if not any_hit and n_inst > 1:
-                                    best_inst[:] = jnp.where(
-                                        gt < best_t[:],
-                                        i.astype(jnp.float32),
-                                        best_inst[:],
-                                    )
-                                best_prim[:] = gp
-                                if not any_hit:
-                                    best_u[:] = gu
-                                    best_v[:] = gv
-                                    best_t[:] = gt
+                                        gu = best_u[rs]
+                                        gv = best_v[rs]
+                                    for k in range(TRI_GROUP):
+                                        bump(7)
+                                        kk = base + k
+                                        if _ABLATE == "notri":
+                                            continue
+                                        t, u, v, valid = _mt_scalar(
+                                            smem, kk,
+                                            oxw, oyw, ozw, dxw, dyw, dzw,
+                                        )
+                                        improved = (
+                                            valid & (t < gt)
+                                            & (kk < cnt)
+                                        )
+                                        gp = jnp.where(
+                                            improved, smem[9, kk], gp
+                                        )
+                                        if not any_hit:
+                                            gu = jnp.where(improved, u, gu)
+                                            gv = jnp.where(improved, v, gv)
+                                            gt = jnp.where(improved, t, gt)
+                                    if not any_hit and n_inst > 1:
+                                        best_inst[rs] = jnp.where(
+                                            gt < best_t[rs],
+                                            i.astype(jnp.float32),
+                                            best_inst[rs],
+                                        )
+                                    best_prim[rs] = gp
+                                    if not any_hit:
+                                        best_u[rs] = gu
+                                        best_v[rs] = gv
+                                        best_t[rs] = gt
 
-                            # 16-tri sub-groups, each gated by its own AABB
-                            # (block rows 10-15): a tile grazed by few rays
-                            # skips most of the triangle sweep. Static
-                            # loop: group AABB offsets are compile-time
-                            # constants; empty tail groups are gated by the
-                            # scalar cnt test
-                            for g in range(N_TRI_GROUPS):
-                                bump(5)
-                                if _ABLATE == "nogrp":
-                                    best_u[:] = (
-                                        best_u[:] + smem[10, g] * 1e-30
+                                # 16-tri sub-groups, each gated by its own
+                                # AABB (block rows 10-15): a window grazed
+                                # by few rays skips most of the triangle
+                                # sweep. Static loop: group AABB offsets
+                                # are compile-time constants; empty tail
+                                # groups are gated by the scalar cnt test
+                                for g in range(N_TRI_GROUPS):
+                                    bump(5)
+                                    if _ABLATE == "nogrp":
+                                        best_u[rs] = (
+                                            best_u[rs] + smem[10, g] * 1e-30
+                                        )
+                                        continue
+                                    ghit = _slab(
+                                        smem[10, g], smem[11, g],
+                                        smem[12, g], smem[13, g],
+                                        smem[14, g], smem[15, g],
+                                        oxw, oyw, ozw, *invw, best_t[rs],
                                     )
-                                    continue
-                                ghit = _slab(
-                                    smem[10, g], smem[11, g],
-                                    smem[12, g], smem[13, g],
-                                    smem[14, g], smem[15, g],
-                                    ox, oy, oz, *inv, best_t[:],
-                                )
-                                if any_hit:
-                                    ghit = ghit & (best_prim[:] < 0.0)
+                                    if any_hit:
+                                        ghit = ghit & (
+                                            best_prim[rs] < 0.0
+                                        )
 
-                                pl.when(
-                                    jnp.any(ghit)
-                                    & (g * TRI_GROUP < cnt)
-                                )(lambda g=g: grp_sweep(g))
+                                    pl.when(
+                                        jnp.any(ghit)
+                                        & (g * TRI_GROUP < cnt)
+                                    )(lambda g=g: grp_sweep(g))
+
+                            # any-hit keeps full-tile sweeps: its
+                            # occluded-lane masking + all-occluded early
+                            # exit already prune, and the chip A/B
+                            # measured the per-window overhead as a 12%
+                            # LOSS there (closest: +51-56% win; PERF.md
+                            # round 5)
+                            n_win = (
+                                sub // _SUBROWS
+                                if (_SUBROWS > 0 and sub % _SUBROWS == 0
+                                    and not any_hit)
+                                else 1
+                            )
+                            if n_win <= 1:
+                                sweep_rows(0, sub)
+                            else:
+                                # NOTE stats: grp_tests/tri_tests count
+                                # per-window under sub-window gating
+                                for w in range(n_win):
+                                    r0 = w * _SUBROWS
+                                    whit = jnp.any(bhit[r0:r0 + _SUBROWS])
+                                    pl.when(whit)(
+                                        lambda r0=r0: sweep_rows(
+                                            r0, _SUBROWS
+                                        )
+                                    )
 
                         def sweep_clusters(mcount, koff):
                             """Gate + sweep mcount member clusters whose
@@ -469,7 +515,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                     if any_hit:
                                         bhit = bhit & (best_prim[:] < 0.0)
                                     pl.when(jnp.any(bhit))(
-                                        lambda: cluster_sweep(j)
+                                        lambda: cluster_sweep(j, bhit)
                                     )
                                     return 0
 
@@ -485,7 +531,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                     if any_hit:
                                         bhit = bhit & (best_prim[:] < 0.0)
                                     pl.when(jnp.any(bhit))(
-                                        lambda: cluster_sweep(j)
+                                        lambda: cluster_sweep(j, bhit)
                                     )
                                     return 0
 
@@ -796,7 +842,7 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
     ray_spec = pl.BlockSpec(
         (sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    kernel = _make_kernel(n_inst, identity, any_hit, stats=_STATS)
+    kernel = _make_kernel(n_inst, identity, any_hit, stats=_STATS, sub=sub)
     out_shapes = [
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),

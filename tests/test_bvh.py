@@ -309,3 +309,52 @@ class TestHierarchyRefit:
         np.testing.assert_array_equal(got.blocks, want.blocks)
         np.testing.assert_array_equal(got.root_lo, want.root_lo)
         np.testing.assert_array_equal(got.root_hi, want.root_hi)
+
+
+class TestSubWindowGating:
+    """Sub-window sweep gating (FREDHOLM_TRAV_SUBROWS, round-5 lever) is
+    a pure scheduling change: per-lane merges only read their own rows,
+    so results must be BIT-identical to full-tile sweeps."""
+
+    def test_bit_identical_to_full_tile(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from fredholm_tpu.accel import pallas_clustered as pc
+        from fredholm_tpu.accel.cluster import build_tlas
+
+        h, v0, e1, e2 = _sphere_blas()
+        dev_c = pc.prepare_clustered(build_tlas([h], [(0, np.eye(4))]))
+        rng = np.random.default_rng(13)
+        n = 4096  # two [16,128] tiles
+        o = rng.normal(size=(n, 3)).astype(np.float32)
+        o = 1.6 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        tm = np.where(rng.random(n) < 0.85, 1e9, -1.0).astype(np.float32)
+
+        assert pc._SUBROWS == 8  # default on
+        a = pc.intersect_closest_clustered(
+            dev_c, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm)
+        )
+        occ_a = pc.intersect_any_clustered(
+            dev_c, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm)
+        )
+        try:
+            monkeypatch.setattr(pc, "_SUBROWS", 0)
+            pc._call.clear_cache()  # same static key, different closure
+            b = pc.intersect_closest_clustered(
+                dev_c, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm)
+            )
+            occ_b = pc.intersect_any_clustered(
+                dev_c, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm)
+            )
+            for k in ("hit", "prim", "t", "u", "v"):
+                np.testing.assert_array_equal(
+                    np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+                )
+            np.testing.assert_array_equal(
+                np.asarray(occ_a), np.asarray(occ_b)
+            )
+        finally:
+            monkeypatch.undo()
+            pc._call.clear_cache()
