@@ -136,7 +136,7 @@ class TestCompactionEquivalence:
             )
 
     def test_auto_means_clustered_only(self):
-        from fredholm_tpu.fused import compact
+        from fredholm_tpu.experimental import compact
 
         assert compact.enabled({"use_dense": False, "compact": "auto"})
         assert not compact.enabled({"use_dense": True, "compact": "auto"})
