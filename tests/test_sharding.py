@@ -129,3 +129,79 @@ class TestSppChunking:
             rtol=1e-6,
         )
         assert int(np.asarray(count).min()) == 5
+
+
+class TestShardedClusteredTraversal:
+    """The sharded path must compose with the PRODUCTION clustered
+    traversal (supercluster Pallas sweep, interpret-mode on CPU) and with
+    TLAS/BLAS instancing — not just the dense demo intersector."""
+
+    def _terrain_renderer(self):
+        from fredholm_tpu.scene.procedural import terrain
+
+        r = Renderer(width=16, height=16)
+        # clustered path off-TPU: the kernels run in the pallas
+        # interpreter (same routing test_bvh uses)
+        r.use_pallas = True
+        r.set_scene(terrain(n=24, size=4.0))
+        r.camera.origin = np.asarray([0.0, 3.0, 6.0], np.float32)
+        r.camera.look_around(0.0, -0.3)
+        r.camera._update_transform()
+        r.set_bg_color((0.2, 0.3, 0.4))
+        return r
+
+    def _instanced_renderer(self):
+        from test_instanced import _instanced_scene
+
+        r = Renderer(width=16, height=16)
+        r.set_scene(_instanced_scene())
+        r.camera.origin = np.asarray([0.0, 2.0, 6.5], np.float32)
+        r.camera.look_around(0.0, -0.1)
+        r.camera._update_transform()
+        r.set_bg_color((0.2, 0.3, 0.4))
+        return r
+
+    def _sharded(self, r, n_samples=1, max_depth=2):
+        mesh = make_mesh(8)
+        dev, sp, dyn = r.sharding_inputs(max_depth=max_depth)
+
+        def shard_leaf(leaf):
+            spec = P("tiles") if getattr(leaf, "ndim", 0) > 0 else P()
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        layers = jax.tree.map(shard_leaf, r.layers)
+        count = jax.device_put(
+            r.sample_count, NamedSharding(mesh, P("tiles"))
+        )
+        return render_progressive_sharded(
+            mesh, dev, sp, dyn, layers, count, n_samples
+        )
+
+    def test_clustered_sharded_matches_single(self):
+        r = self._terrain_renderer()
+        cfg = r._config(1, 2)
+        assert cfg.use_clustered and not cfg.use_dense
+        layers, count = self._sharded(r)
+
+        r2 = self._terrain_renderer()
+        r2.render(n_samples=1, max_depth=2)
+        np.testing.assert_allclose(
+            np.asarray(layers["beauty"]),
+            np.asarray(r2.layers["beauty"]),
+            rtol=1e-4, atol=1e-6,
+        )
+        assert int(np.asarray(count).min()) == 1
+
+    def test_instanced_sharded_matches_single(self):
+        r = self._instanced_renderer()
+        cfg = r._config(1, 2)
+        assert cfg.use_clustered and not cfg.inst_identity
+        layers, _ = self._sharded(r)
+
+        r2 = self._instanced_renderer()
+        r2.render(n_samples=1, max_depth=2)
+        np.testing.assert_allclose(
+            np.asarray(layers["beauty"]),
+            np.asarray(r2.layers["beauty"]),
+            rtol=1e-4, atol=1e-6,
+        )
