@@ -541,3 +541,222 @@ def gradient_ibl(width: int = 128, height: int = 64,
     y, x = sun_px[1], sun_px[0]
     sky[max(0, y - 2): y + 3, max(0, x - 2): x + 3] = sun_le
     return sky
+
+
+def _leaf_texture(res: int = 64) -> TextureImage:
+    """Foliage card texture: green leaf clusters with alpha cutout holes
+    (procedural stand-in for the reference's foliage assets — drives the
+    anyhit alpha path, pt.cu:545-678)."""
+    rng = np.random.default_rng(11)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, res, endpoint=False),
+        np.linspace(0, 1, res, endpoint=False), indexing="ij",
+    )
+    alpha = np.zeros((res, res), np.float32)
+    shade = np.zeros((res, res), np.float32)
+    for _ in range(26):
+        cx, cy = rng.random(2)
+        rx = 0.05 + 0.10 * rng.random()
+        ry = 0.03 + 0.06 * rng.random()
+        th = rng.random() * np.pi
+        dx, dy = xx - cx, yy - cy
+        u = np.cos(th) * dx + np.sin(th) * dy
+        v = -np.sin(th) * dx + np.cos(th) * dy
+        inside = (u / rx) ** 2 + (v / ry) ** 2 < 1.0
+        alpha = np.maximum(alpha, inside.astype(np.float32))
+        shade = np.where(inside, 0.35 + 0.65 * rng.random(), shade)
+    img = np.empty((res, res, 4), np.uint8)
+    img[..., 0] = np.uint8(30 + 40 * shade)
+    img[..., 1] = np.uint8(70 + 130 * shade)
+    img[..., 2] = np.uint8(25 + 35 * shade)
+    img[..., 3] = np.uint8(alpha * 255)
+    return TextureImage(data=img, is_srgb=True)
+
+
+def _dirt_textures(res: int = 128):
+    """Terrain base-color + tangent-space normal map (deterministic
+    sum-of-sines 'dirt' pattern)."""
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, res, endpoint=False),
+        np.linspace(0, 1, res, endpoint=False), indexing="ij",
+    )
+    h = (
+        0.5
+        + 0.22 * np.sin(2 * np.pi * (7 * xx + 3 * yy))
+        + 0.18 * np.sin(2 * np.pi * (2 * xx - 9 * yy) + 1.3)
+        + 0.10 * np.sin(2 * np.pi * (17 * xx + 13 * yy) + 0.4)
+    )
+    bc = np.empty((res, res, 4), np.uint8)
+    bc[..., 0] = np.uint8(np.clip(120 + 70 * h, 0, 255))
+    bc[..., 1] = np.uint8(np.clip(95 + 55 * h, 0, 255))
+    bc[..., 2] = np.uint8(np.clip(60 + 40 * h, 0, 255))
+    bc[..., 3] = 255
+    # normal map from the analytic gradient of h
+    dhx = (
+        0.22 * 7 * np.cos(2 * np.pi * (7 * xx + 3 * yy))
+        + 0.18 * 2 * np.cos(2 * np.pi * (2 * xx - 9 * yy) + 1.3)
+        + 0.10 * 17 * np.cos(2 * np.pi * (17 * xx + 13 * yy) + 0.4)
+    ) * 2 * np.pi * 0.035
+    dhy = (
+        0.22 * 3 * np.cos(2 * np.pi * (7 * xx + 3 * yy))
+        - 0.18 * 9 * np.cos(2 * np.pi * (2 * xx - 9 * yy) + 1.3)
+        + 0.10 * 13 * np.cos(2 * np.pi * (17 * xx + 13 * yy) + 0.4)
+    ) * 2 * np.pi * 0.035
+    nx = np.clip(-dhx, -0.8, 0.8)
+    ny = np.clip(-dhy, -0.8, 0.8)
+    nz = np.sqrt(np.clip(1.0 - nx * nx - ny * ny, 0.0, 1.0))
+    nm = np.empty((res, res, 4), np.uint8)
+    nm[..., 0] = np.uint8(np.clip((nx * 0.5 + 0.5) * 255, 0, 255))
+    nm[..., 1] = np.uint8(np.clip((ny * 0.5 + 0.5) * 255, 0, 255))
+    nm[..., 2] = np.uint8(np.clip((nz * 0.5 + 0.5) * 255, 0, 255))
+    nm[..., 3] = 255
+    return (TextureImage(data=bc, is_srgb=True),
+            TextureImage(data=nm, is_srgb=False))
+
+
+def hero(terrain_n: int = 360, n_trees: int = 40, n_rocks: int = 24):
+    """The 'everything-on' composite scene (rtcamp8.cpp:47-303 analog):
+    textured + normal-mapped terrain, alpha-cutout foliage, shared-BLAS
+    instanced trees/rocks, emissive lanterns, metallic-roughness-textured
+    rocks — meant for Hosek sun + thin-lens DOF + denoise through
+    render_cli. Returns an InstancedScene (TLAS/BLAS two-level).
+
+    Submeshes of the base scene: 0 = terrain (2*terrain_n^2 tris),
+    1 = tree (trunk + crossed alpha foliage cards), 2 = rock,
+    3 = lantern (emissive). Deterministic placements (seeded RNG).
+    """
+    from .types import InstancedScene, MeshInstance
+
+    leaf = _leaf_texture()
+    dirt_bc, dirt_nm = _dirt_textures()
+    mr_res = 32
+    yy, xx = np.meshgrid(np.arange(mr_res), np.arange(mr_res),
+                         indexing="ij")
+    mr = np.empty((mr_res, mr_res, 4), np.uint8)
+    mr[..., 0] = 0
+    mr[..., 1] = np.uint8(60 + 160 * ((xx // 4 + yy // 4) % 2))  # roughness
+    mr[..., 2] = np.uint8(255 * ((yy // 8) % 2))                 # metalness
+    mr[..., 3] = 255
+    rock_mr = TextureImage(data=mr, is_srgb=False)
+    textures = [leaf, dirt_bc, dirt_nm, rock_mr]
+
+    materials = [
+        Material(base_color_texture_id=1, normalmap_texture_id=2,
+                 specular=0.3, specular_roughness=0.6),       # 0 terrain
+        Material(base_color=(0.36, 0.24, 0.14), specular=0.15,
+                 specular_roughness=0.7),                     # 1 trunk
+        Material(base_color_texture_id=0, specular=0.1,
+                 specular_roughness=0.6, thin_walled=1.0,
+                 subsurface=0.35,
+                 subsurface_color=(0.3, 0.6, 0.25)),          # 2 foliage
+        Material(base_color=(0.6, 0.6, 0.62), specular=0.9,
+                 metallic_roughness_texture_id=3),            # 3 rock
+        Material(base_color=(0.2, 0.2, 0.2), emission=1.0,
+                 emission_color=(14.0, 9.0, 4.0)),            # 4 lantern
+    ]
+
+    size = 26.0
+    base_terrain = terrain(n=terrain_n, size=size, amp=1.2)
+
+    parts_v = [base_terrain.vertices]
+    parts_n = [base_terrain.normals]
+    parts_uv = [base_terrain.texcoords]
+    parts_f = [base_terrain.indices]
+    parts_m = [np.zeros((len(base_terrain.indices),), np.int32)]
+
+    def add_part(v, nn, t, f, mid):
+        parts_v.append(v.astype(np.float32))
+        parts_n.append(nn.astype(np.float32))
+        parts_uv.append(t.astype(np.float32))
+        parts_f.append(f)
+        parts_m.append(np.full((len(f),), mid, np.int32))
+
+    n_before = [len(base_terrain.indices)]
+
+    # --- tree: tapered trunk (scaled sphere) + 3 crossed foliage cards
+    v, nn, t, f = uv_sphere([0.0, 0.0, 0.0], 1.0, n_theta=8, n_phi=12)
+    tv = v.copy()
+    tv[:, 0] *= 0.12
+    tv[:, 2] *= 0.12
+    tv[:, 1] = tv[:, 1] * 1.1 + 1.1  # 0..2.2 trunk
+    add_part(tv, nn, t, f, 1)
+    rngq = np.random.default_rng(5)
+    for k in range(3):
+        th = k * np.pi / 3
+        c, s = np.cos(th), np.sin(th)
+        w, h0, h1 = 1.5, 1.2, 3.3
+        quad = np.asarray(
+            [[-w * c, h0, -w * s], [w * c, h0, w * s],
+             [w * c, h1, w * s], [-w * c, h1, -w * s]], np.float32)
+        qv, qn, qt, qf = _quad(*quad)
+        add_part(qv, qn, qt, qf, 2)
+    n_before.append(sum(len(f) for f in parts_f))
+
+    # --- rock: squashed low-res sphere
+    v, nn, t, f = uv_sphere([0.0, 0.0, 0.0], 1.0, n_theta=10, n_phi=16)
+    rv = v.copy()
+    rv[:, 1] = rv[:, 1] * 0.55 + 0.4
+    add_part(rv, nn, t, f, 3)
+    n_before.append(sum(len(f) for f in parts_f))
+
+    # --- lantern: two emissive panels (n_lights = emissive faces must
+    # stay <= 16 across all instances for the fused in-kernel light table)
+    e = 0.12
+    for q in (
+        [[-e, 0, -e], [e, 0, -e], [e, 2 * e, -e], [-e, 2 * e, -e]],
+        [[e, 0, e], [-e, 0, e], [-e, 2 * e, e], [e, 2 * e, e]],
+    ):
+        qv, qn, qt, qf = _quad(*[np.asarray(p, np.float32) for p in q])
+        add_part(qv, qn, qt, qf, 4)
+    n_total_faces = None
+
+    verts, norms, uvs, idxs, mids = _merge_mesh(
+        parts_v, parts_n, parts_uv, parts_f, parts_m
+    )
+    n_total_faces = len(idxs)
+    offsets = [0, n_before[0], n_before[1], n_before[2]]
+    counts = [
+        n_before[0],
+        n_before[1] - n_before[0],
+        n_before[2] - n_before[1],
+        n_total_faces - n_before[2],
+    ]
+    base = Scene(
+        vertices=verts, normals=norms, texcoords=uvs, indices=idxs,
+        material_ids=mids,
+        instance_ids=np.zeros((n_total_faces,), np.int32),
+        materials=materials, textures=textures,
+        transforms=np.eye(4, dtype=np.float32)[None],
+        submesh_offsets=offsets, submesh_n_faces=counts,
+    )
+
+    # terrain height (matches terrain()'s displacement) for placements
+    def ground_y(x, z, amp=1.2):
+        return amp * (
+            np.sin(0.7 * x) * np.cos(0.5 * z)
+            + 0.45 * np.sin(2.3 * x + 1.0) * np.sin(1.9 * z + 0.5)
+            + 0.18 * np.cos(6.1 * x + 2.0) * np.cos(5.7 * z + 1.2)
+        )
+
+    rng = np.random.default_rng(7)
+    instances = [MeshInstance(0, np.eye(4, dtype=np.float32))]
+
+    def place(submesh, n, s_lo, s_hi, margin=0.88, y_off=0.0):
+        for _ in range(n):
+            x = (rng.random() * 2 - 1) * size / 2 * margin
+            z = (rng.random() * 2 - 1) * size / 2 * margin
+            s = s_lo + (s_hi - s_lo) * rng.random()
+            th = rng.random() * 2 * np.pi
+            c, si = np.cos(th), np.sin(th)
+            m = np.eye(4, dtype=np.float32)
+            m[0, 0], m[0, 2] = s * c, s * si
+            m[2, 0], m[2, 2] = -s * si, s * c
+            m[1, 1] = s
+            m[0, 3], m[2, 3] = x, z
+            m[1, 3] = ground_y(x, z) + y_off
+            instances.append(MeshInstance(submesh, m))
+
+    place(1, n_trees, 0.7, 1.4)
+    place(2, n_rocks, 0.3, 0.9)
+    place(3, 3, 1.0, 1.0, margin=0.3, y_off=0.6)
+    return InstancedScene(base=base, instances=instances)
