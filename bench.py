@@ -14,6 +14,9 @@ final line as the headline):
 4. terrain ~1.05M tris — the million-triangle scene class (San
    Miguel/Rungholt analog, controller.h:31-43), supercluster traversal.
 5. instanced-tiles 10.4M tris — San Miguel-scale shared-BLAS instancing.
+6. hero everything-on ~320k tris — instanced + alpha foliage +
+   normal-mapped textures + emissive + Hosek + DOF through the fused
+   pipeline (rtcamp8 composite analog).
 
 The default invocation is an ORCHESTRATOR: each metric runs in its own
 subprocess (`--only N`) under a HARD per-metric timeout, inside a global
@@ -283,6 +286,28 @@ def _bench_tiles(width, height, spp, max_depth):
     return _timed_render(r, spp, max_depth)
 
 
+def _bench_hero(width, height, spp, max_depth):
+    """The everything-on composite (rtcamp8.cpp:47-303 analog): instanced
+    trees/rocks + alpha-cutout foliage + normal-mapped textured terrain +
+    emissive lanterns + Hosek sun + thin-lens DOF, all through the fused
+    pipeline."""
+    import numpy as np
+
+    from fredholm_tpu.renderer import Renderer
+    from fredholm_tpu.scene.procedural import hero
+
+    r = Renderer(width=width, height=height)
+    r.set_scene(hero())
+    r.camera.origin = np.asarray([0.0, 4.0, 14.0], np.float32)
+    r.camera.look_around(0.0, -0.18)
+    r.camera.f_number = 8.0
+    r.camera.focus = 12.0
+    r.camera._update_transform()
+    r.set_directional_light([2.0, 1.9, 1.8], [0.35, 0.75, 0.3], angle=0.5)
+    r.load_arhosek_sky(turbidity=3.0, albedo=0.3)
+    return _timed_render(r, spp, max_depth)
+
+
 def _metric_table(args):
     """(n, est_s, name, runner) for every metric. est_s = warm-cache wall
     estimate used for budget planning; hard subprocess timeouts are looser."""
@@ -308,6 +333,10 @@ def _metric_table(args):
          f"instanced-tiles 10.4M-tris 512x288 @2spp depth{d} "
          f"single-chip path tracing (shared-BLAS TLAS)",
          lambda: _bench_tiles(512, 288, 2, d)),
+        (6, 120,
+         f"hero everything-on ~320k-tris 512x288 @4spp depth{d} "
+         f"single-chip path tracing (instanced+alpha+normalmap+DOF)",
+         lambda: _bench_hero(512, 288, 4, d)),
     ]
 
 
@@ -431,7 +460,7 @@ def _orchestrate(args) -> None:
     # 4. secondaries, cheap/valuable first; re-ping before each so a
     #    mid-run outage re-enters the wait loop instead of burning
     #    per-metric timeouts; always leave 20s for the final print
-    for n in (2, 3, 4, 5):
+    for n in (2, 3, 4, 5, 6):
         est, name = metrics[n]
         if _left() - 20 < est:
             print(f"bench: skipping metric {n} ({name}): "
@@ -477,7 +506,7 @@ def main() -> None:
     ap.add_argument(
         "--only", type=int, default=0,
         help="run just metric N in-process (1=cornell, 2=sweep, 3=1080p, "
-             "4=terrain, 5=10M-tri instanced tiles)",
+             "4=terrain, 5=10M-tri instanced tiles, 6=hero everything-on)",
     )
     ap.add_argument("--out", type=str, default="")
     ap.add_argument(
@@ -527,7 +556,7 @@ def main() -> None:
 
     # --only N / FREDHOLM_BENCH_INPROC=1: run in this process
     table = {t[0]: t for t in _metric_table(args)}
-    order = [args.only] if args.only else [2, 3, 4, 5, 1]  # primary last
+    order = [args.only] if args.only else [2, 3, 4, 5, 6, 1]  # primary last
     budget = float(os.environ.get("FREDHOLM_BENCH_BUDGET", "420"))
     t_start = time.time()
     for n in order:

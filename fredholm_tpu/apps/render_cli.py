@@ -49,6 +49,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--f-number", type=float, default=100.0)
     ap.add_argument("--focus", type=float, default=8.0)
     ap.add_argument("--camera-origin", type=float, nargs=3, default=None)
+    ap.add_argument("--camera-yaw", type=float, default=0.0,
+                    help="degrees, applied after --camera-origin")
+    ap.add_argument("--camera-pitch", type=float, default=0.0,
+                    help="degrees (negative looks down)")
     # lights / sky
     ap.add_argument("--sun-le", type=float, nargs=3, default=None)
     ap.add_argument("--sun-dir", type=float, nargs=3, default=(-0.1, 1.0, 0.1))
@@ -142,6 +146,10 @@ def main(argv=None) -> int:
     r.camera.focus = args.focus
     if args.camera_origin is not None:
         r.camera.origin = np.asarray(args.camera_origin, np.float32)
+        r.camera._update_transform()
+    if args.camera_yaw or args.camera_pitch:
+        r.camera.look_around(np.deg2rad(args.camera_yaw),
+                             np.deg2rad(args.camera_pitch))
         r.camera._update_transform()
 
     if args.sun_le is not None:

@@ -298,8 +298,28 @@ def golden_scenes():
         r.set_bg_color((0.5, 0.6, 0.7))
         return r, dict(n_samples=12, max_depth=3)
 
+    def hero_composite():
+        # the everything-on composite (rtcamp8.cpp:47-303 analog):
+        # instanced trees/rocks + alpha-cutout foliage + normal-mapped
+        # textured terrain + emissive lanterns + Hosek sun + thin-lens
+        # DOF, all through the fused pipeline (round-5 envelope)
+        from fredholm_tpu.scene.procedural import hero
+
+        r = Renderer(width=48, height=48)
+        r.set_scene(hero(terrain_n=40, n_trees=5, n_rocks=4))
+        r.camera.origin = np.asarray([0.0, 4.0, 14.0], np.float32)
+        r.camera.look_around(0.0, -0.18)
+        r.camera.f_number = 8.0
+        r.camera.focus = 12.0
+        r.camera._update_transform()
+        r.set_directional_light((2.0, 1.9, 1.8), (0.35, 0.75, 0.3),
+                                angle=0.5)
+        r.load_arhosek_sky(3.0, 0.3)
+        return r, dict(n_samples=6, max_depth=4)
+
     return {
         "cornell": cornell,
+        "hero": hero_composite,
         "metal_row": metal_row,
         "furnace": furnace,
         "hosek_sun": hosek_sun,
