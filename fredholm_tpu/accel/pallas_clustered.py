@@ -242,8 +242,18 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                cl_meta_hbm, blocks_hbm,
                t_out, prim_out, u_out, v_out, inst_out,
                *rest):
+        if not any_hit:
+            # hit SLOT (global cid*CLUSTER_SIZE + in-cluster index): the
+            # cheap key for the cluster-block attribute fetch
+            # (fused/slot_fetch.py) — per-lane attr gathers from [F]-row
+            # tables are the measured large-scene wall (PERF.md round 5)
+            slot_out = rest[0]
+            rest = rest[1:]
         if stats:
             stats_out = rest[0]
+            rest = rest[1:]
+        if not any_hit:
+            best_slot = rest[0]
             rest = rest[1:]
         (best_t, best_prim, best_u, best_v, best_inst,
          clm, smem, sel, sem_m, sem_b) = rest
@@ -265,6 +275,8 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
         best_u[:] = jnp.zeros(tmax.shape, jnp.float32)
         best_v[:] = jnp.zeros(tmax.shape, jnp.float32)
         best_inst[:] = jnp.zeros(tmax.shape, jnp.float32)
+        if not any_hit:
+            best_slot[:] = jnp.full(tmax.shape, -1.0, jnp.float32)
 
         # fully-dead tiles (pixel-coherent RR kills / misses) cost nothing
         @pl.when(jnp.any(alive))
@@ -356,6 +368,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                             dma_b.start()
                             dma_b.wait()
                             cnt = clm[6, j].astype(jnp.int32)
+                            slot0 = (cid * CLUSTER_SIZE).astype(jnp.float32)
 
                             def sweep_rows(r0, nr):
                                 """Group gates + unrolled 16-tri sweeps
@@ -379,6 +392,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                     if not any_hit:
                                         gu = best_u[rs]
                                         gv = best_v[rs]
+                                        gs = best_slot[rs]
                                     for k in range(TRI_GROUP):
                                         bump(7)
                                         kk = base + k
@@ -398,6 +412,11 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                         if not any_hit:
                                             gu = jnp.where(improved, u, gu)
                                             gv = jnp.where(improved, v, gv)
+                                            gs = jnp.where(
+                                                improved,
+                                                slot0 + jnp.float32(kk),
+                                                gs,
+                                            )
                                             gt = jnp.where(improved, t, gt)
                                     if not any_hit and n_inst > 1:
                                         best_inst[rs] = jnp.where(
@@ -409,6 +428,7 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                     if not any_hit:
                                         best_u[rs] = gu
                                         best_v[rs] = gv
+                                        best_slot[rs] = gs
                                         best_t[rs] = gt
 
                                 # 16-tri sub-groups, each gated by its own
@@ -817,6 +837,8 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
         u_out[:] = best_u[:]
         v_out[:] = best_v[:]
         inst_out[:] = best_inst[:].astype(jnp.int32)
+        if not any_hit:
+            slot_out[:] = best_slot[:].astype(jnp.int32)
 
     return kernel
 
@@ -851,6 +873,9 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
     ]
     out_specs = [ray_spec] * 5
+    if not any_hit:  # hit slot (see _make_kernel)
+        out_shapes.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
+        out_specs.append(ray_spec)
     if _STATS:
         # mosaic wants 8-divisible sublane blocks even in SMEM: each
         # program gets an (8, 8) block and writes row 0; the host slices
@@ -883,7 +908,9 @@ def _call(tiles, dev_c, n_inst: int, identity: bool, any_hit: bool):
         out_shape=out_shapes,
         # CPU (tests) runs the kernel in the pallas interpreter
         interpret=jax.default_backend() == "cpu",
-        scratch_shapes=[
+        scratch_shapes=([pltpu.VMEM((sub, LANES), jnp.float32)]
+                        if not any_hit else [])  # best_slot
+        + [
             pltpu.VMEM((sub, LANES), jnp.float32),
             pltpu.VMEM((sub, LANES), jnp.float32),
             pltpu.VMEM((sub, LANES), jnp.float32),
@@ -925,7 +952,7 @@ def intersect_closest_clustered(dev_c: Dict, o, d, t_max,
     tiles = _ray_tiles(o, d, t_max, _pad_size(n))
     n_inst = dev_c["inst_aabb"].shape[1]
     res = _call(tiles, dev_c, n_inst, identity, False)
-    t, prim, u, v, inst = res[:5]
+    t, prim, u, v, inst, slot = res[:6]
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -937,9 +964,12 @@ def intersect_closest_clustered(dev_c: Dict, o, d, t_max,
         "v": v.reshape(-1)[:n],
         "hit": ~miss,
         "inst": inst.reshape(-1)[:n],
+        # global hit slot (cid*CLUSTER_SIZE + in-cluster index), -1 on
+        # miss: keys the cluster-block attribute fetch (slot_fetch.py)
+        "slot": slot.reshape(-1)[:n],
     }
     if _STATS:
-        out["stats"] = jnp.sum(res[5][::8], axis=0)
+        out["stats"] = jnp.sum(res[6][::8], axis=0)
     return out
 
 

@@ -87,7 +87,7 @@ def uncompact_hits(dest, res: dict) -> dict:
     """Restore original lane order of a closest-hit result dict with one
     f32 and (if present) one int32 row gather. res planes: hit (bool),
     t/u/v (f32), prim (int32), optional inst (int32)."""
-    ints = [k for k in ("prim", "inst") if k in res]
+    ints = [k for k in ("prim", "inst", "slot") if k in res]
     # int planes ride the SAME stacked f32 row gather: a separate [M]
     # int32 gather is per-element (the catastrophic access class,
     # CLAUDE.md ~13 ms at 262k lanes). prim/inst ids are exact in f32 up

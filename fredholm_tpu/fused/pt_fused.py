@@ -1158,21 +1158,35 @@ def _concat_rays(ray_list):
     return o, d, t
 
 
-def _gather_attrs(dev, prim, inst=None):
+def _gather_attrs(dev, prim, inst=None, slot=None):
     """Two-stage fetch: geometry by prim, then material params by the
     fetched mat_id (a one-hot matmul over M << F materials).
+
+    Geometry stage: small tables ride the one-hot MXU gather; large
+    tables (> ONEHOT_MAX_ROWS) would fall back to the catastrophic
+    per-lane HBM row gather — when the traversal reported hit SLOTS and
+    the scene carries the slot-ordered attr blocks, the cluster-block
+    fetch kernel (slot_fetch.py) replaces it: one 16 KB DMA + lane
+    shuffles per (ray tile x distinct hit cluster).
 
     Instanced scenes (dev["inst_table"] present): the geometry table is
     OBJECT space — transform verts/normals by the hit instance's rows and
     recompute the (world) area, all in column form on the VPU."""
-    table = dev["fused_table"]  # [F, GEOM_COLS]
-    p = jnp.clip(prim, 0, table.shape[0] - 1)
-    geom = gather_rows(table, p, dev.get("use_dense", False))
-    attrs = {c: geom[:, c] for c in range(GEOM_COLS_USED)}
+    if slot is not None and "slot_attrs" in dev:
+        from .slot_fetch import fetch_geom_by_slot
+
+        attrs = fetch_geom_by_slot(dev, slot)
+        mid_f = attrs[COL["mat_id"]]
+    else:
+        table = dev["fused_table"]  # [F, GEOM_COLS]
+        p = jnp.clip(prim, 0, table.shape[0] - 1)
+        geom = gather_rows(table, p, dev.get("use_dense", False))
+        attrs = {c: geom[:, c] for c in range(GEOM_COLS_USED)}
+        mid_f = geom[:, COL["mat_id"]]
     if inst is not None and "inst_table" in dev:
         _xform_attrs_cols(dev, inst, attrs)
     mat_table = dev["fused_mat_table"]  # [M, MAT_COLS]
-    mid = jnp.round(geom[:, COL["mat_id"]]).astype(jnp.int32)
+    mid = jnp.round(mid_f).astype(jnp.int32)
     mid = jnp.clip(mid, 0, mat_table.shape[0] - 1)
     mat = gather_rows(mat_table, mid, True)
     for c in range(MAT_COLS):
@@ -1456,7 +1470,12 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
                     inst2 = jnp.concatenate(
                         [blk(hit_all["inst"], li), blk(hit_all["inst"], ri)]
                     )
-                attrs2 = _gather_attrs(dev, prim2, inst=inst2)
+                slot2 = None
+                if "slot" in hit_all:
+                    slot2 = jnp.concatenate(
+                        [blk(hit_all["slot"], li), blk(hit_all["slot"], ri)]
+                    )
+                attrs2 = _gather_attrs(dev, prim2, inst=inst2, slot=slot2)
                 fetch_texture_planes(
                     dev, cfg, attrs2,
                     jnp.concatenate([blk(hit_all["u"], li), rhit["u"]]),
@@ -1470,6 +1489,8 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
                     dev, blk(hit_all["prim"], ri),
                     inst=blk(hit_all["inst"], ri)
                     if "inst" in hit_all else None,
+                    slot=blk(hit_all["slot"], ri)
+                    if "slot" in hit_all else None,
                 )
                 fetch_texture_planes(dev, cfg, rattr, rhit["u"], rhit["v"])
             resolve = _make_resolve(
@@ -1480,7 +1501,8 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
                 resolve["lattr"] = lattr
         else:
             rattr = _gather_attrs(
-                dev, hit_all["prim"], inst=hit_all.get("inst")
+                dev, hit_all["prim"], inst=hit_all.get("inst"),
+                slot=hit_all.get("slot"),
             )
             fetch_texture_planes(dev, cfg, rattr, rhit["u"], rhit["v"])
             resolve = {}
@@ -1523,6 +1545,7 @@ def render_sample_fused(dev: Dict, params: Dict, n_spp):
         resolve["lattr"] = _gather_attrs(
             dev, blk(hit_all["prim"], li),
             inst=blk(hit_all["inst"], li) if "inst" in hit_all else None,
+            slot=blk(hit_all["slot"], li) if "slot" in hit_all else None,
         )
         fetch_texture_planes(
             dev, cfg, resolve["lattr"],

@@ -131,14 +131,17 @@ def _trace_closest_raw(dev, o, d, t_max, coherent=True):
     return intersect_closest(dev["bvh"], o, d, t_max)
 
 
-def _hit_alpha(dev, prim, bu, bv):
+def _hit_alpha(dev, prim, bu, bv, slot=None):
     """Opacity at a hit point: base-color texture alpha channel and/or the
     dedicated alpha texture (anyhit programs, pt.cu:545-678)."""
     p = jnp.clip(prim, 0, dev["n_faces"] - 1)
-    fuv = dev["face_uvs"][p]
+    if slot is not None and "slot_attrs" in dev:
+        _, _, fuv, mat = _slot_face_data(dev, slot)
+    else:
+        fuv = dev["face_uvs"][p]
+        mat = dev["face_mat"][p]
     w0 = (1.0 - bu - bv)[..., None]
     uv = w0 * fuv[:, 0] + bu[..., None] * fuv[:, 1] + bv[..., None] * fuv[:, 2]
-    mat = dev["face_mat"][p]
     m = dev["materials"]
     alpha = jnp.ones(prim.shape, jnp.float32)
     bc_id = m["base_color_texture_id"][mat]
@@ -165,7 +168,8 @@ def trace_closest(dev, o, d, t_max, coherent=True):
 
     def body(state):
         hit, origin, t_base, _ = state
-        alpha = _hit_alpha(dev, hit["prim"], hit["u"], hit["v"])
+        alpha = _hit_alpha(dev, hit["prim"], hit["u"], hit["v"],
+                           slot=hit.get("slot"))
         cut = hit["hit"] & (alpha < 0.5)
         # advance past the transparent hit and re-trace
         new_origin = origin + (hit["t"] + 1e-4)[..., None] * d
@@ -183,6 +187,8 @@ def trace_closest(dev, o, d, t_max, coherent=True):
         }
         if "inst" in hit:
             merged["inst"] = jnp.where(cut, nxt["inst"], hit["inst"])
+        if "slot" in hit:
+            merged["slot"] = jnp.where(cut, nxt["slot"], hit["slot"])
         return merged, jnp.where(cut[..., None], new_origin, origin), jnp.where(cut, new_t_base, t_base), cut
 
     def cond(state):
@@ -191,7 +197,8 @@ def trace_closest(dev, o, d, t_max, coherent=True):
     # evaluate alpha at the initial hit OUTSIDE the loop: when every hit
     # is opaque (the common case even in alpha scenes) the while_loop
     # condition is false on entry and no re-trace runs at all
-    alpha0 = _hit_alpha(dev, hit["prim"], hit["u"], hit["v"])
+    alpha0 = _hit_alpha(dev, hit["prim"], hit["u"], hit["v"],
+                        slot=hit.get("slot"))
     cut0 = hit["hit"] & (alpha0 < 0.5)
     state = (hit, o, jnp.zeros_like(hit["t"]), cut0)
     hit, origin, t_base, _ = jax.lax.while_loop(cond, body, state)
@@ -289,7 +296,23 @@ def _apply_inst_normals(rows, nrm):
     )
 
 
-def fill_surface_info(dev, prim, bary_u, bary_v, ray_d, inst=None):
+def _slot_face_data(dev, slot):
+    """fv/fn/fuv/mat_id [N,3,*] planes from the cluster-block fetch
+    (fused/slot_fetch.py) — replaces three per-lane HBM row gathers on
+    large scenes. Miss lanes (slot < 0) come back zero; every consumer
+    masks on hit."""
+    from ..fused.slot_fetch import fetch_geom_by_slot
+
+    a = fetch_geom_by_slot(dev, slot)
+    fv = jnp.stack([a[c] for c in range(0, 9)], -1).reshape(-1, 3, 3)
+    fn = jnp.stack([a[c] for c in range(9, 18)], -1).reshape(-1, 3, 3)
+    fuv = jnp.stack([a[c] for c in range(18, 24)], -1).reshape(-1, 3, 2)
+    mat = jnp.round(a[25]).astype(jnp.int32)
+    return fv, fn, fuv, mat
+
+
+def fill_surface_info(dev, prim, bary_u, bary_v, ray_d, inst=None,
+                      slot=None):
     """pt.cu:141-179 over a wavefront; prim: [N] int32 (clamped valid).
 
     For instanced scenes the face tables are OBJECT space: `inst` selects
@@ -298,9 +321,13 @@ def fill_surface_info(dev, prim, bary_u, bary_v, ray_d, inst=None):
     """
     p = jnp.clip(prim, 0, dev["n_faces"] - 1)
     small = dev.get("use_dense", False)
-    fv = gather_rows(dev["face_verts"], p, small)  # [N, 3, 3]
-    fn = gather_rows(dev["face_normals"], p, small)
-    fuv = gather_rows(dev["face_uvs"], p, small)
+    mat_slot = None
+    if slot is not None and "slot_attrs" in dev:
+        fv, fn, fuv, mat_slot = _slot_face_data(dev, slot)
+    else:
+        fv = gather_rows(dev["face_verts"], p, small)  # [N, 3, 3]
+        fn = gather_rows(dev["face_normals"], p, small)
+        fuv = gather_rows(dev["face_uvs"], p, small)
     if inst is not None and "inst_table" in dev:
         rows = _gather_inst_rows(dev, inst)
         fv = _apply_inst_points(rows, fv)
@@ -328,7 +355,8 @@ def fill_surface_info(dev, prim, bary_u, bary_v, ray_d, inst=None):
         "tangent": tangent,
         "bitangent": bitangent,
         "is_entering": is_entering,
-        "mat_id": gather_rows(dev["face_mat"], p, small),
+        "mat_id": (mat_slot if mat_slot is not None
+                   else gather_rows(dev["face_mat"], p, small)),
     }
 
 
@@ -686,7 +714,7 @@ def render_sample(dev: Dict, params: Dict, n_spp):
         # --- surface + shading params
         surf = fill_surface_info(
             dev, hit["prim"], hit["u"], hit["v"], state["direction"],
-            inst=hit.get("inst"),
+            inst=hit.get("inst"), slot=hit.get("slot"),
         )
         sp = fill_shading_params(dev, surf)
         tangent, normal, bitangent = apply_normal_mapping(dev, surf)

@@ -160,11 +160,33 @@ def build_device_scene(scene: Scene) -> Dict:
         "_n_instances": tlas.n_instances,
     }
     dev.update({k: jnp.asarray(v) for k, v in lsoa.items()})
+    dev.update(_maybe_slot_attrs(np_dev, tlas))
     if n_faces <= DENSE_MAX_FACES:
         dev["tri_soa"] = prepare_tri_soa(v0, e1, e2)
     # host-side handles for animation refresh
     dev["_host"] = {"scene": scene, "bvh": bvh, "hier": hier}
     return dev
+
+
+def _maybe_slot_attrs(np_dev, tlas) -> dict:
+    """Slot-ordered geometry attr blocks for the cluster-block fetch
+    kernel (fused/slot_fetch.py) — built only when the scene would
+    otherwise hit the catastrophic per-lane row gather (geometry table
+    over ONEHOT_MAX_ROWS). FREDHOLM_SLOT_FETCH=0 disables (A/B)."""
+    import os
+
+    from ..core.gather import ONEHOT_MAX_ROWS
+    from ..fused.slot_fetch import build_slot_attrs
+
+    if os.environ.get("FREDHOLM_SLOT_FETCH", "1") == "0":
+        return {}
+    if np_dev["face_verts"].shape[0] <= ONEHOT_MAX_ROWS:
+        return {}
+    return {
+        "slot_attrs": jnp.asarray(
+            build_slot_attrs(np_dev, np.asarray(tlas.blocks[9]))
+        )
+    }
 
 
 def update_device_scene_transforms(dev: Dict) -> Dict:
@@ -197,9 +219,8 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
     else:
         hier = extract_hierarchy(bvh, v0, e1, e2)
     host["hier"] = hier
-    new["clusters"] = prepare_clustered(
-        build_tlas([hier], [(0, np.eye(4))])
-    )
+    tlas = build_tlas([hier], [(0, np.eye(4))])
+    new["clusters"] = prepare_clustered(tlas)
     new["face_verts"] = jnp.asarray(fd["verts"])
     new["face_normals"] = jnp.asarray(fd["normals"])
     new["face_uvs"] = jnp.asarray(fd["uvs"])
@@ -233,6 +254,8 @@ def update_device_scene_transforms(dev: Dict) -> Dict:
     new["fused_table"] = jnp.asarray(build_fused_table(np_dev))
     new["fused_mat_table"] = jnp.asarray(build_fused_mat_table(np_dev))
     new["light_table"] = jnp.asarray(build_light_table(np_dev))
+    new.pop("slot_attrs", None)
+    new.update(_maybe_slot_attrs(np_dev, tlas))
     return new
 
 
@@ -372,6 +395,7 @@ def build_instanced_device_scene(iscene) -> Dict:
         "_instanced": True,
     }
     dev.update({k: jnp.asarray(v) for k, v in lsoa.items()})
+    dev.update(_maybe_slot_attrs(np_dev, tlas))
     dev["_host"] = {
         "scene": iscene,
         "blas_list": blas_list,

@@ -30,9 +30,9 @@ import numpy as np
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    k, c = 2048, 120
+    k, c = 1024, 120
     rng = np.random.default_rng(0)
     table = jnp.asarray(
         rng.normal(size=(k, c)).astype(np.float32) * 37.3
@@ -92,9 +92,11 @@ def main():
         return jnp.dot(onehot(ix), t,
                        preferred_element_type=jnp.float32)
 
-    for name, fn in (("highest", g_highest), ("tuple", g_tuple),
-                     ("split3", g_split3), ("split2", g_split2),
-                     ("default", g_default)):
+    # cheap variants first: the HIGHEST compile of a [131k, 1024]
+    # one-hot matmul can be minutes (it timed out at [262k, 2048])
+    for name, fn in (("default", g_default), ("split2", g_split2),
+                     ("split3", g_split3), ("tuple", g_tuple),
+                     ("highest", g_highest)):
         out = fn(idx, table)
         float(jnp.sum(out))
         dt = float("inf")
