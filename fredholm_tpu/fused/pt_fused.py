@@ -69,6 +69,15 @@ from .cvec import (
 
 RAY_TMAX = 1e9
 SHADOW_RAY_EPS = 1e-3  # pt.cu:11
+# perf-decomposition hooks (comma set, tools/probe_terrain_decomp.py):
+#   noocc     any-hit occlusion traces return all-unoccluded
+#   nogather  attribute fetch returns zeros (same structure)
+#   noclosest closest traces beyond the primary return all-miss
+# Production value is "" — every hook distorts images, never wavefront
+# SHAPES (dispatch structure stays identical for honest timing).
+_ABLATE = frozenset(
+    x for x in _os.environ.get("FREDHOLM_FUSED_ABLATE", "").split(",") if x
+)
 MAX_KERNEL_LIGHTS = 16  # in-kernel unrolled light-table select bound
 
 SKY_CONSTANT = 0
@@ -1080,6 +1089,14 @@ def _trace_c(dev, o: V3, dd: V3, t, coherent=False):
     the front first so dead lanes collapse into fully-dead tail tiles the
     traversal kernels skip; results return in original order (bit-exact —
     per-lane hits don't depend on tile membership)."""
+    if "noclosest" in _ABLATE and not coherent:
+        zero = jnp.zeros_like(t)
+        out = {"t": t, "prim": jnp.full(t.shape, -1, jnp.int32),
+               "u": zero, "v": zero, "hit": zero > 1.0}
+        if dev.get("use_clustered", False):
+            out["inst"] = jnp.zeros(t.shape, jnp.int32)
+            out["slot"] = jnp.full(t.shape, -1, jnp.int32)
+        return out
     from ..experimental import compact as _cp
 
     if _cp.enabled(dev):
@@ -1115,7 +1132,7 @@ def _trace_any_c(dev, o: V3, dd: V3, t, coherent=False):
     bool. Opaque scenes dispatch straight to the first-hit kernels — the
     clustered one early-exits per tile once every alive lane is occluded;
     alpha scenes take the alpha-aware re-trace via pt_mod.trace_any."""
-    if _os.environ.get("FREDHOLM_FUSED_ABLATE", "") == "noocc":
+    if "noocc" in _ABLATE:
         # perf decomposition only (everything unoccluded; aliveness and
         # wavefront structure identical to a real render)
         return jnp.zeros_like(t, dtype=bool)
@@ -1172,7 +1189,11 @@ def _gather_attrs(dev, prim, inst=None, slot=None):
     Instanced scenes (dev["inst_table"] present): the geometry table is
     OBJECT space — transform verts/normals by the hit instance's rows and
     recompute the (world) area, all in column form on the VPU."""
-    if slot is not None and "slot_attrs" in dev:
+    if "nogather" in _ABLATE:
+        zero = jnp.zeros(prim.shape, jnp.float32)
+        attrs = {c: zero for c in range(GEOM_COLS_USED)}
+        mid_f = zero
+    elif slot is not None and "slot_attrs" in dev:
         from .slot_fetch import fetch_geom_by_slot
 
         attrs = fetch_geom_by_slot(dev, slot)
