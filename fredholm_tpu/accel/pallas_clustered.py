@@ -84,6 +84,9 @@ _STATS = _os.environ.get("FREDHOLM_TRAV_STATS", "") == "1"
 # 1/n_win) the VPU sweep width. Per-lane results are bit-identical by
 # construction (each lane's merges only read its own row). 0 disables.
 _SUBROWS = int(_os.environ.get("FREDHOLM_TRAV_SUBROWS", "8"))
+_SUBROWS_ANYHIT = (
+    _os.environ.get("FREDHOLM_TRAV_SUBROWS_ANYHIT", "0") == "1"
+)
 # cluster gating strategy: "twopass" (DEFAULT — measured +22% primary /
 # +18% bounce on the 1M-tri terrain, round 3) vector-gates ALL clusters of
 # the supercluster first (8 slab tests per fori iteration, interested ids
@@ -460,16 +463,21 @@ def _make_kernel(n_inst: int, identity: bool, any_hit: bool,
                                         & (g * TRI_GROUP < cnt)
                                     )(lambda g=g: grp_sweep(g))
 
-                            # any-hit keeps full-tile sweeps: its
+                            # any-hit defaults to full-tile sweeps: its
                             # occluded-lane masking + all-occluded early
                             # exit already prune, and the chip A/B
                             # measured the per-window overhead as a 12%
-                            # LOSS there (closest: +51-56% win; PERF.md
-                            # round 5)
+                            # LOSS on the generic bounce workload
+                            # (closest: +51-56% win; PERF.md round 5).
+                            # FREDHOLM_TRAV_SUBROWS_ANYHIT=1 re-enables
+                            # for A/B on NEE-shadow-heavy renders (the
+                            # terrain decomposition puts 67% of the
+                            # render in the anyhit dispatches).
+                            win_ok = not any_hit or _SUBROWS_ANYHIT
                             n_win = (
                                 sub // _SUBROWS
                                 if (_SUBROWS > 0 and sub % _SUBROWS == 0
-                                    and not any_hit)
+                                    and win_ok)
                                 else 1
                             )
                             if n_win <= 1:

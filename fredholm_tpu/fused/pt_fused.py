@@ -756,6 +756,18 @@ def _resolve_pending(cfg: FusedConfig, sv, rad: V3, resolve: Dict,
     return rad + w * le
 
 
+
+def _nee_tmax(c: V3, tmax):
+    """Kill a shadow/light ray whose pending contribution is exactly
+    zero: the occlusion boolean multiplies c in the resolve, so the
+    trace result is irrelevant — EXACT (bit-identical images), and
+    zero-contribution lanes are spatially coherent (slopes facing away
+    from the sun, back-facing lights), so whole tiles drop out of the
+    any-hit dispatches (67% of the terrain render, PERF.md round 5)."""
+    nz = (c.x > 0.0) | (c.y > 0.0) | (c.z > 0.0)
+    return jnp.where(nz, tmax, -1.0)
+
+
 def mega_body(
     cfg: FusedConfig,
     d: int,
@@ -906,7 +918,6 @@ def mega_body(
             dist * ddir.z + disk_r * (t_dl.z * dxx + b_dl.z * dyy),
         )
         sdir_dl = normalize(p_sun - shadow_origin)
-        rays["dl"] = (shadow_origin, sdir_dl, shadow_tmax)
 
         wi = world_to_local(sdir_dl, tangent, n_s, bitangent)
         f = cbsdf.eval(ctx, wo, wi)
@@ -916,6 +927,8 @@ def mega_body(
         le_dl = _sv3(sv, _SV["dl_le"])
         c_dl = V3(wgt.x * le_dl.x, wgt.y * le_dl.y, wgt.z * le_dl.z)
         pending["c_dl"] = where3(alive, c_dl, z3)
+        rays["dl"] = (shadow_origin, sdir_dl,
+                      _nee_tmax(pending["c_dl"], shadow_tmax))
 
     # sky NEE (pt.cu:796-857): cosine-hemisphere, or importance-sampled
     # from the environment distribution when one is wired (pt.py:709-721)
@@ -937,8 +950,6 @@ def mega_body(
         sdir_sky = local_to_world(wi_sky, tangent, n_s, bitangent)
         cos_sky = jnp.abs(wi_sky.y)
         pdf_sky = cos_sky / jnp.pi
-    rays["sky"] = (shadow_origin, sdir_sky, shadow_tmax)
-
     f = cbsdf.eval(ctx, wo, wi_sky)
     pdf_bsdf = cbsdf.eval_pdf(ctx, wo, wi_sky)
     mis_w = pdf_sky / (pdf_sky + pdf_bsdf)
@@ -948,6 +959,8 @@ def mega_body(
     wgt = _clip3(thr * vsplat(scale) * f, 0.0, 1.0)
     sky_le_nee = eval_sky_c(cfg, sv, sdir_sky, ibl_env)
     pending["c_sky"] = where3(alive, wgt * sky_le_nee, z3)
+    rays["sky"] = (shadow_origin, sdir_sky,
+                   _nee_tmax(pending["c_sky"], shadow_tmax))
 
     sobol_slot = 1
     if cfg.has_area:
@@ -980,11 +993,6 @@ def mega_body(
         r = length(to_l)
         inv_r = 1.0 / jnp.maximum(r, 1e-12)
         sdir_area = V3(to_l.x * inv_r, to_l.y * inv_r, to_l.z * inv_r)
-        rays["area"] = (
-            shadow_origin,
-            sdir_area,
-            jnp.where(alive, r - SHADOW_RAY_EPS, -1.0),
-        )
 
         front = dot(-sdir_area, n_lv) > 0.0
         wi = world_to_local(sdir_area, tangent, n_s, bitangent)
@@ -1001,6 +1009,12 @@ def mega_body(
             1.0,
         )
         pending["c_area"] = where3(alive & front, wgt * le_l, z3)
+        rays["area"] = (
+            shadow_origin,
+            sdir_area,
+            _nee_tmax(pending["c_area"],
+                      jnp.where(alive, r - SHADOW_RAY_EPS, -1.0)),
+        )
 
     # ---- BSDF-sampled light ray (pt.cu:892-925 head)
     u1 = draw_sobol_1d(sample_idx, cfg.sobol_dim(d, sobol_slot), seed_hash)
@@ -1013,12 +1027,17 @@ def mega_body(
     ldir = local_to_world(wi_l, tangent, n_s, bitangent)
     transmitted = dot(ldir, n_g) < 0.0
     lorigin = ray_origin_offset(x, where3(transmitted, -n_g, n_g))
-    rays["light"] = (lorigin, ldir, jnp.where(alive, RAY_TMAX, -1.0))
 
     tpf_scale = jnp.where(
         pdf_l > 0.0, jnp.abs(wi_l.y) / jnp.maximum(pdf_l, 1e-12), 0.0
     )
     pending["tpf"] = where3(alive, thr * vsplat(tpf_scale) * f_l, z3)
+    # tpf == 0 zeroes the whole MIS term (resolve multiplies by
+    # clip(tpf * mis)), so the light trace is irrelevant — same exact
+    # kill as _nee_tmax
+    rays["light"] = (lorigin, ldir,
+                     _nee_tmax(pending["tpf"],
+                               jnp.where(alive, RAY_TMAX, -1.0)))
     pending["pdf_l"] = pdf_l
     pending["wi_l_y"] = wi_l.y
 
