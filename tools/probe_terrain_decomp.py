@@ -42,7 +42,7 @@ for _ in range(2):
     r.render(n_samples=spp, max_depth=5)
     float(np.asarray(r.layers["n_path_vertices"]))
     best = min(best, (time.time() - t0) / spp)
-print(f"RESULT {best*1e3:.0f} ms/spp", flush=True)
+print("RESULT %.0f ms/spp" % (best * 1e3), flush=True)
 '''
 
 
