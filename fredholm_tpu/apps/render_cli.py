@@ -70,6 +70,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--kill-time", type=float, default=590.0)
     # post
     ap.add_argument("--denoise", action="store_true")
+    ap.add_argument("--denoiser", choices=["auto", "unet", "atrous"],
+                    default="auto",
+                    help="denoiser model (auto = U-Net when weights + "
+                    "guides exist, else A-Trous)")
     ap.add_argument(
         "--temporal", action="store_true",
         help="reprojection-validated temporal blend across animation "
@@ -158,6 +162,7 @@ def main(argv=None) -> int:
         if args.sun_le is None:
             r.set_directional_light((20, 20, 20), args.sun_dir, args.sun_angle)
         r.load_arhosek_sky(args.turbidity, args.albedo)
+        r.set_sky_intensity(args.sky_intensity)
     elif args.sky == "ibl":
         assert args.ibl, "--ibl required for --sky ibl"
         r.load_ibl(args.ibl)
@@ -165,7 +170,7 @@ def main(argv=None) -> int:
     else:
         r.set_bg_color(args.bg_color)
 
-    denoiser = Denoiser(args.width, args.height) if (
+    denoiser = Denoiser(args.width, args.height, mode=args.denoiser) if (
         args.denoise or args.aov == "denoised"
     ) else None
     pp = PostProcessParams(
