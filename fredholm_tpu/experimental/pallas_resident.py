@@ -24,6 +24,12 @@ Identity-transform scenes only (flattened/baked geometry): instanced
 scenes keep the ordered kernel, whose per-instance object-space
 transform this kernel does not carry.
 
+Known inefficiency (kept as-is — the kernel is chip-rejected and
+quarantined): _rows_for pads dispatches just over a super-block
+boundary to a full R_SUB multiple (up to ~2x padded lanes); padded
+lanes are gated off per sub-tile, so it is wasted DMA/gate work, not
+wrongness.
+
 Layout (prepare_resident):
   res_meta [16, K_pad]  dense-by-cid cluster meta, HBM. Rows 0-5 cluster
                         AABB (lo.xyz, hi.xyz), row 6 tri count, rows
