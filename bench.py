@@ -367,7 +367,7 @@ def _run_subprocess(n, timeout_s, extra=()):
     return line
 
 
-def _tunnel_up(timeout_s: float = 60.0) -> bool:
+def _tunnel_up(timeout_s: float = 150.0) -> bool:
     """One tiny-op ping of the TPU backend in a subprocess (backend init
     hangs, not errors, when the axon tunnel is down — only a subprocess
     timeout bounds it)."""
@@ -394,11 +394,13 @@ def _tunnel_up(timeout_s: float = 60.0) -> bool:
 def _wait_tunnel(_left, reserve: float = 45.0) -> bool:
     """Ping behind a backoff loop spanning the remaining budget. Returns
     True as soon as a ping lands; False once less than `reserve` seconds
-    remain (so the final headline print can never be cut off)."""
+    remain (so the final headline print can never be cut off). The ping
+    timeout must cover a slow-but-alive backend init (~140 s observed) —
+    a short timeout reads busy as down and skips good metrics."""
     backoff = 10.0
     first = True
     while _left() > reserve:
-        if _tunnel_up(min(60.0, _left() - reserve)):
+        if _tunnel_up(min(150.0, max(60.0, _left() - reserve))):
             if not first:
                 print("bench: tunnel is back", file=sys.stderr, flush=True)
             return True
@@ -459,7 +461,11 @@ def _orchestrate(args) -> None:
 
     # 4. secondaries, cheap/valuable first; re-ping before each so a
     #    mid-run outage re-enters the wait loop instead of burning
-    #    per-metric timeouts; always leave 20s for the final print
+    #    per-metric timeouts — but skip the ping while metrics are
+    #    landing (a fresh success IS the liveness signal; a short ping
+    #    against a busy backend reads as down and skips good metrics);
+    #    always leave 20s for the final print
+    last_ok = time.time() if (primary or smoke) else 0.0
     for n in (2, 3, 4, 5, 6):
         est, name = metrics[n]
         if _left() - 20 < est:
@@ -467,7 +473,8 @@ def _orchestrate(args) -> None:
                   f"{_left():.0f}s left < est {est}s",
                   file=sys.stderr, flush=True)
             continue
-        if not _tunnel_up(min(60.0, _left() - est - 20)):
+        if time.time() - last_ok > 120 and not _tunnel_up(
+                min(150.0, max(60.0, _left() - est - 20))):
             if not _wait_tunnel(_left, reserve=est + 20):
                 print(f"bench: tunnel down, no budget for metric {n}",
                       file=sys.stderr, flush=True)
@@ -475,6 +482,7 @@ def _orchestrate(args) -> None:
         line = _run_subprocess(n, min(est * 2.5, _left() - 20), extra=fwd)
         if line:
             out_line(line)
+            last_ok = time.time()
 
     # 5. headline last: full primary, else the smoke line (a real
     #    measurement beats a zero), else the explicit failure record
