@@ -317,23 +317,23 @@ def _metric_table(args):
          f"cornell-box 512x512 @{args.spp}spp depth{d} "
          f"single-chip path tracing",
          lambda: _bench_cornell(512, 512, args.spp, d, out=args.out)),
-        (2, 60,
+        (2, 90,
          f"hosek-sweep ~100k-tris 512x288 @8spp depth{d} "
          f"single-chip path tracing",
          lambda: _bench_sweep(512, 288, 8, d)),
-        (3, 75,
+        (3, 100,
          f"cornell-box 1920x1080 @{args.spp}spp depth{d} "
          f"single-chip path tracing (contest operating point)",
          lambda: _bench_cornell(1920, 1080, args.spp, d)),
-        (4, 90,
+        (4, 120,
          f"terrain ~1.05M-tris 512x288 @4spp depth{d} "
          f"single-chip path tracing (supercluster traversal)",
          lambda: _bench_terrain(512, 288, 4, d)),
-        (5, 120,
+        (5, 150,
          f"instanced-tiles 10.4M-tris 512x288 @2spp depth{d} "
          f"single-chip path tracing (shared-BLAS TLAS)",
          lambda: _bench_tiles(512, 288, 2, d)),
-        (6, 120,
+        (6, 150,
          f"hero everything-on ~320k-tris 512x288 @4spp depth{d} "
          f"single-chip path tracing (instanced+alpha+normalmap+DOF)",
          lambda: _bench_hero(512, 288, 4, d)),
