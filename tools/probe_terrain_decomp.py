@@ -6,7 +6,8 @@ variant): only `noocc` preserves the wavefront aliveness structure
 exactly; `noclosest`/`nogather` kill paths early, so their deltas are
 UPPER bounds on the ablated stage's cost.
 
-Run: python tools/probe_terrain_decomp.py [spp]
+Run: python tools/probe_terrain_decomp.py [spp] [scene]
+scene: terrain (default) | hero
 Ablation is read at import, so each variant runs as a subprocess.
 """
 import os
@@ -23,13 +24,24 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 import numpy as np
 from fredholm_tpu.renderer import Renderer
-from fredholm_tpu.scene.procedural import terrain
 
 spp = {spp}
+scene = {scene!r}
 r = Renderer(width=512, height=288)
-r.set_scene(terrain())
-r.camera.origin = np.asarray([0.0, 4.5, 11.0], np.float32)
-r.camera.look_around(0.0, -0.25)
+if scene == "hero":
+    from fredholm_tpu.scene.procedural import hero
+
+    r.set_scene(hero())
+    r.camera.origin = np.asarray([0.0, 6.5, 19.0], np.float32)
+    r.camera.look_around(0.0, -0.245)
+    r.camera.f_number = 8.0
+    r.camera.focus = 16.0
+else:
+    from fredholm_tpu.scene.procedural import terrain
+
+    r.set_scene(terrain())
+    r.camera.origin = np.asarray([0.0, 4.5, 11.0], np.float32)
+    r.camera.look_around(0.0, -0.25)
 r.camera._update_transform()
 r.set_directional_light([2.0, 1.9, 1.8], [0.35, 0.75, 0.3], angle=0.5)
 r.load_arhosek_sky(turbidity=3.0, albedo=0.3)
@@ -48,6 +60,7 @@ print("RESULT %.0f ms/spp" % (best * 1e3), flush=True)
 
 def main():
     spp = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    scene = sys.argv[2] if len(sys.argv) > 2 else "terrain"
     root = os.path.dirname(HERE)
     variants = [
         ("full", ""),
@@ -60,7 +73,7 @@ def main():
         env = dict(os.environ)
         env["FREDHOLM_FUSED_ABLATE"] = abl
         p = subprocess.run(
-            [sys.executable, "-c", CHILD.format(root=root, spp=spp)],
+            [sys.executable, "-c", CHILD.format(root=root, spp=spp, scene=scene)],
             env=env, capture_output=True, text=True, timeout=2400,
         )
         line = [ln for ln in p.stdout.splitlines() if "RESULT" in ln]
