@@ -46,10 +46,8 @@ class SkyType(enum.Enum):
 # (controller.h:30-70); file scenes load via load_scene(path)
 BUILTIN_SCENES = {
     "cornell_box": lambda: procedural.cornell_box(),
-    # scale-test scenes (San Miguel / Rungholt class, controller.h:31-43)
-    "terrain": lambda: procedural.terrain(),
-    "instanced_tiles": lambda: procedural.instanced_tiles(),
-    # the everything-on composite (rtcamp8.cpp:47-303 analog)
+    # the everything-on composite (rtcamp8.cpp:47-303 analog); the
+    # scale-test scenes are terrain_1m / terrain_100k / tiles_10m below
     "hero": lambda: procedural.hero(),
     "specular_test": lambda: procedural.sphere_array_test(
         "specular", [0.0, 0.25, 0.5, 0.75, 1.0]

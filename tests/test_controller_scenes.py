@@ -9,7 +9,8 @@ from fredholm_tpu.apps.controller import BUILTIN_SCENES
 from fredholm_tpu.renderer import Renderer
 
 # the million-triangle-class scenes take minutes to build on the test host
-_SKIP_BUILD = {"terrain_1m", "tiles_10m"}
+# (hero's 260k-tri terrain + instanced BLAS build is covered by its golden)
+_SKIP_BUILD = {"terrain_1m", "tiles_10m", "hero"}
 
 
 class TestBuiltinScenes:
@@ -41,6 +42,17 @@ class TestBuiltinScenes:
         base = getattr(scene, "base", scene)
         assert base.n_faces() > 0
         assert len(base.materials) > 0
+
+    def test_hero_constructs_small(self):
+        """The everything-on composite (registry entry "hero") builds at
+        reduced scale: instanced base with terrain + tree + rock +
+        lantern submeshes, alpha + normal-map textures."""
+        from fredholm_tpu.scene.procedural import hero
+
+        sc = hero(terrain_n=24, n_trees=2, n_rocks=2)
+        assert sc.is_valid()
+        assert len(sc.base.submesh_offsets) == 4
+        assert len(sc.instances) >= 5
 
     def test_metal_rough_grid_renders(self):
         r = Renderer(width=32, height=32)
